@@ -1,0 +1,69 @@
+"""Shared CLI helpers: model factory and flag groups.
+
+Flag and hyperparameter parity with the reference
+(``learn_nerf/scripts/train_nerf.py:136-170``): ``--instant_ngp`` /
+``--ref_nerf`` select the model family; the NGP hierarchy uses a 6-level
+coarse / 16-level fine hash grid with ``table_size=2^18`` and grid sizes
+``2^(4 + i//2)``, and Adam ``eps=1e-15, b2=0.99``; Ref-NeRF uses
+``sh_degree=4``.
+"""
+
+import argparse
+from functools import partial
+from typing import Any, Dict, Tuple
+
+from ..data.dataset import ModelMetadata
+from ..models import (
+    FieldModel,
+    InstantNGPModel,
+    InstantNGPRefNeRFModel,
+    NeRFModel,
+    RefNeRFModel,
+)
+
+
+def add_model_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--instant_ngp", action="store_true")
+    parser.add_argument("--ref_nerf", action="store_true")
+
+
+def create_model(
+    args: argparse.Namespace, metadata: ModelMetadata
+) -> Tuple[FieldModel, FieldModel, Dict[str, Any]]:
+    """Build the (coarse, fine) pair plus extra TrainLoop kwargs."""
+    if args.instant_ngp:
+        if args.ref_nerf:
+            model_cls = partial(InstantNGPRefNeRFModel, sh_degree=4)
+        else:
+            model_cls = InstantNGPModel
+        bbox_kwargs = dict(
+            bbox_min=tuple(metadata.bbox_min), bbox_max=tuple(metadata.bbox_max)
+        )
+        coarse = model_cls(
+            table_sizes=[2**18] * 6,
+            grid_sizes=[2 ** (4 + i // 2) for i in range(6)],
+            **bbox_kwargs,
+        )
+        fine = model_cls(
+            table_sizes=[2**18] * 16,
+            grid_sizes=[2 ** (4 + i // 2) for i in range(16)],
+            **bbox_kwargs,
+        )
+        train_kwargs = dict(adam_eps=1e-15, adam_b1=0.9, adam_b2=0.99)
+    else:
+        if args.ref_nerf:
+            model_cls = partial(RefNeRFModel, sh_degree=4)
+        else:
+            model_cls = NeRFModel
+        coarse = model_cls()
+        fine = model_cls()
+        train_kwargs = dict()
+    return coarse, fine, train_kwargs
+
+
+def seeded_key(seed):
+    import random
+
+    import jax
+
+    return jax.random.PRNGKey(seed if seed is not None else random.randint(0, 2**32 - 1))

@@ -1,0 +1,119 @@
+"""Render one or more views with a trained NeRF model.
+
+CLI parity with the reference (``learn_nerf/scripts/render_nerf.py``):
+positional ``metadata_json view_json... output_png``, same flags, frames
+concatenated horizontally, u8 encoding ``(x + 1) * 127.5``.
+
+TPU-first: the whole frame renders as ONE device program (rays tiled and
+scanned inside a single jit, ``render.render_frame``) instead of the
+reference's chunked host loop with a device sync and ``jnp.concatenate``
+per chunk (``scripts/render_nerf.py:88-92``).
+"""
+
+import argparse
+
+import numpy as np
+
+from ..checkpoint import load_params_pickle
+from ..data.camera import CameraView
+from ..data.dataset import ModelMetadata
+from ..render import Renderer, render_frame
+from .common import add_model_args, create_model, seeded_key
+
+
+def argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--batch_size", type=int, default=1024, help="rays per render tile"
+    )
+    parser.add_argument(
+        "--coarse_samples", type=int, default=64, help="samples per coarse ray"
+    )
+    parser.add_argument(
+        "--fine_samples",
+        type=int,
+        default=128,
+        help="samples per fine ray (not including coarse samples)",
+    )
+    parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--height", type=int, default=512)
+    parser.add_argument("--model_path", type=str, default="nerf.pkl")
+    add_model_args(parser)
+    parser.add_argument("metadata_json", type=str)
+    return parser
+
+
+class RenderSession:
+    """A loaded model + jitted whole-frame render function."""
+
+    def __init__(self, args: argparse.Namespace):
+        import jax
+        import jax.numpy as jnp
+
+        print("loading metadata...")
+        self.metadata = ModelMetadata.from_json(args.metadata_json)
+
+        print("loading model...")
+        coarse, fine, _ = create_model(args, self.metadata)
+        params = load_params_pickle(args.model_path)
+        self.params = params
+
+        self.renderer = Renderer(
+            coarse=coarse,
+            fine=fine,
+            bbox_min=tuple(self.metadata.bbox_min),
+            bbox_max=tuple(self.metadata.bbox_max),
+            coarse_ts=args.coarse_samples,
+            fine_ts=args.fine_samples,
+        )
+        self.background = jnp.asarray(params["background"], dtype=jnp.float32)
+        self.key = seeded_key(args.seed)
+        self.args = args
+        self.images = []
+
+        self._render = jax.jit(
+            lambda key, rays: render_frame(
+                self.renderer,
+                key,
+                rays,
+                params["coarse"],
+                params["fine"],
+                self.background,
+                tile_size=args.batch_size,
+            )["outputs"],
+        )
+
+    def render_view(self, view: CameraView) -> np.ndarray:
+        import jax
+
+        rays = view.bare_rays(self.args.width, self.args.height)
+        self.key, this_key = jax.random.split(self.key)
+        colors = np.asarray(self._render(this_key, rays))
+        image = (
+            (colors.reshape(self.args.height, self.args.width, 3) + 1) * 127.5
+        ).astype(np.uint8)
+        self.images.append(image)
+        return image
+
+    def save(self, output_path: str) -> None:
+        from PIL import Image
+
+        Image.fromarray(np.concatenate(self.images, axis=1)).save(output_path)
+
+
+def main(argv=None):
+    parser = argparser()
+    parser.add_argument("view_json", type=str, nargs="+")
+    parser.add_argument("output_png", type=str)
+    args = parser.parse_args(argv)
+
+    session = RenderSession(args)
+    for view_json in args.view_json:
+        print(f"rendering view {view_json}...")
+        session.render_view(CameraView.from_json(view_json))
+    session.save(args.output_png)
+
+
+if __name__ == "__main__":
+    main()

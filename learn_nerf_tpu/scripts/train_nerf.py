@@ -1,0 +1,161 @@
+"""Train a NeRF model on a scene.
+
+CLI parity with the reference (``learn_nerf/scripts/train_nerf.py:21-55``):
+same flags, defaults, auto-resume from ``--save_path``, optional per-step
+test losses, and the ``step i: k=v ...`` stdout format.  Additions: a
+``--mesh_devices`` override, ``--full_state_path`` for resumable optimizer
+state, ``--profile_dir`` for jax.profiler traces, ``--steps`` to bound the
+run, and a rays/sec counter in the log line.
+"""
+
+import argparse
+import os
+
+from ..data.dataset import load_dataset
+from ..train import TrainLoop
+from ..utils.logging import MetricLogger
+from .common import add_model_args, create_model, seeded_key
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--batch_size", type=int, default=4096, help="rays per batch")
+    parser.add_argument(
+        "--test_batch_size", type=int, default=None, help="rays per test batch"
+    )
+    parser.add_argument(
+        "--coarse_samples", type=int, default=64, help="samples per coarse ray"
+    )
+    parser.add_argument(
+        "--fine_samples",
+        type=int,
+        default=128,
+        help="samples per fine ray (not including coarse samples)",
+    )
+    parser.add_argument(
+        "--density_penalty",
+        type=float,
+        default=None,
+        help="penalty coefficient for density at random points",
+    )
+    parser.add_argument(
+        "--density_penalty_batch_size",
+        type=int,
+        default=128,
+        help="batch size for computing density penalty",
+    )
+    parser.add_argument("--save_interval", type=int, default=1000)
+    parser.add_argument("--save_path", type=str, default="nerf.pkl")
+    parser.add_argument(
+        "--full_state_path",
+        type=str,
+        default=None,
+        help="also checkpoint the full train state (optimizer + step)",
+    )
+    parser.add_argument("--one_view", action="store_true")
+    parser.add_argument("--test_data_dir", type=str, default=None)
+    parser.add_argument(
+        "--steps", type=int, default=None, help="stop after this many steps"
+    )
+    parser.add_argument(
+        "--profile_dir", type=str, default=None, help="capture a profiler trace here"
+    )
+    add_model_args(parser)
+    parser.add_argument("data_dir", type=str)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.test_batch_size is None:
+        args.test_batch_size = args.batch_size
+
+    import jax
+
+    print("loading dataset...")
+    data = load_dataset(args.data_dir)
+    if args.one_view:
+        data.views = data.views[:1]
+
+    test_data = None
+    if args.test_data_dir is not None:
+        print("loading test dataset...")
+        test_data = load_dataset(args.test_data_dir)
+        if args.one_view:
+            test_data.views = test_data.views[:1]
+
+    key = seeded_key(args.seed)
+    init_key, key = jax.random.split(key)
+
+    print("creating model and train loop...")
+    coarse, fine, train_kwargs = create_model(args, data.metadata)
+    loop = TrainLoop(
+        coarse,
+        fine,
+        init_rng=init_key,
+        lr=args.lr,
+        coarse_ts=args.coarse_samples,
+        fine_ts=args.fine_samples,
+        bbox_min=data.metadata.bbox_min,
+        bbox_max=data.metadata.bbox_max,
+        density_penalty=args.density_penalty,
+        density_penalty_batch_size=args.density_penalty_batch_size,
+        **train_kwargs,
+    )
+    if args.full_state_path and os.path.exists(args.full_state_path):
+        print(f"loading full train state: {args.full_state_path}")
+        loop.load_full(args.full_state_path)
+    elif os.path.exists(args.save_path):
+        print(f"loading from checkpoint: {args.save_path}")
+        loop.load(args.save_path)
+
+    print("training...")
+    seed_base = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    data_seed, test_seed = seed_base, seed_base + 1
+    shuffle_dir = os.path.join(args.data_dir, "shuffled")
+    test_iterator = None
+    if test_data is not None:
+        test_iterator = test_data.iterate_batches(
+            os.path.join(args.test_data_dir, "shuffled"),
+            test_seed,
+            args.test_batch_size,
+        )
+
+    logger = MetricLogger(rays_per_step=args.batch_size)
+    profile_ctx = None
+    if args.profile_dir:
+        from ..utils.profiling import profile_trace
+
+        profile_ctx = profile_trace(args.profile_dir)
+        profile_ctx.__enter__()
+
+    try:
+        for i, batch in enumerate(
+            data.iterate_batches(shuffle_dir, data_seed, args.batch_size)
+        ):
+            step_key, test_key, key = jax.random.split(key, 3)
+            losses = loop.step(step_key, batch)
+            if test_iterator is not None:
+                test_batch = next(test_iterator)
+                test_losses = loop.eval_losses(test_key, test_batch)
+                losses = dict(losses, **{f"test_{k}": v for k, v in test_losses.items()})
+            logger.log_step(i, losses)
+            if i and i % args.save_interval == 0:
+                loop.save(args.save_path)
+                if args.full_state_path:
+                    loop.save_full(args.full_state_path)
+            if args.steps is not None and i + 1 >= args.steps:
+                break
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+    loop.save(args.save_path)
+    if args.full_state_path:
+        loop.save_full(args.full_state_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Data-layer tests: shuffle invariants and camera/ray statistics.
+
+Modeled on the reference's (stale) ``test_dataset.py`` strategy — a fake
+in-memory view driving ``iterate_batches`` with statistical assertions —
+fixed to the current dataset API (SURVEY.md section 4).
+"""
+
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from learn_nerf_tpu.data import ModelMetadata, NeRFDataset, NeRFView
+
+
+@dataclass
+class DummyView(NeRFView):
+    seed: int = 0
+    shape: tuple = (12, 10)
+    _img: np.ndarray = field(default=None, repr=False)
+
+    def image(self) -> np.ndarray:
+        if self._img is None:
+            rng = np.random.RandomState(self.seed)
+            self._img = rng.randint(0, 256, (*self.shape, 3), dtype=np.uint8)
+        return self._img
+
+
+def make_views(n):
+    views = []
+    rng = np.random.RandomState(123)
+    for i in range(n):
+        z = rng.randn(3)
+        z /= np.linalg.norm(z)
+        x = np.cross(z, [0.0, 0.0, 1.0])
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        views.append(
+            DummyView(
+                camera_direction=tuple(z),
+                camera_origin=tuple(rng.randn(3) * 3),
+                x_axis=tuple(x),
+                y_axis=tuple(y),
+                x_fov=1.0,
+                y_fov=1.2,
+                seed=i,
+            )
+        )
+    return views
+
+
+def test_iterate_batches_covers_all_rays_once():
+    views = make_views(3)
+    data = NeRFDataset(
+        metadata=ModelMetadata(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1)),
+        views=views,
+    )
+    total = sum(v.shape[0] * v.shape[1] for v in views)
+    batch_size = 51
+    with tempfile.TemporaryDirectory() as tmp:
+        batches = list(
+            data.iterate_batches(tmp, seed=0, batch_size=batch_size, repeat=False)
+        )
+    rows = np.concatenate(batches, axis=0)
+    assert rows.shape == (total, 3, 3)
+    assert all(b.shape[0] == batch_size for b in batches[:-1])
+
+    # Per-view recovery by matching origins.
+    for v in views:
+        origin = np.asarray(v.camera_origin, np.float32)
+        sel = np.all(np.abs(rows[:, 0] - origin) < 1e-5, axis=-1)
+        assert sel.sum() == v.shape[0] * v.shape[1]
+        # Mean direction approximately the camera direction.
+        mean_dir = rows[sel, 1].mean(axis=0)
+        mean_dir /= np.linalg.norm(mean_dir)
+        assert np.dot(mean_dir, np.asarray(v.camera_direction)) > 0.99
+        # Mean color matches the image under v/127.5-1.
+        img_mean = v.image().reshape(-1, 3).astype(np.float32) / 127.5 - 1
+        np.testing.assert_allclose(
+            rows[sel, 2].mean(axis=0), img_mean.mean(axis=0), atol=1e-3
+        )
+
+
+def test_shuffle_cache_reused_and_repeat():
+    views = make_views(2)
+    data = NeRFDataset(
+        metadata=ModelMetadata(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1)),
+        views=views,
+    )
+    total = sum(v.shape[0] * v.shape[1] for v in views)
+    with tempfile.TemporaryDirectory() as tmp:
+        it1 = data.iterate_batches(tmp, seed=0, batch_size=32, repeat=False)
+        first = np.concatenate(list(it1))
+        assert os.path.exists(os.path.join(tmp, "done"))
+        # Second pass must reuse the shards (poison the views to prove it).
+        for v in views:
+            v._img = np.zeros_like(v.image())
+        it2 = data.iterate_batches(tmp, seed=0, batch_size=32, repeat=False)
+        second = np.concatenate(list(it2))
+        assert second.shape == first.shape
+        assert not np.allclose(second[:, 2], -1.0)  # old colors, not poisoned
+
+        # repeat=True keeps going past one epoch.
+        it3 = data.iterate_batches(tmp, seed=1, batch_size=64, repeat=True)
+        seen = 0
+        for batch in it3:
+            seen += batch.shape[0]
+            if seen > 2 * total:
+                break
+        assert seen > 2 * total
+
+
+def test_rays_are_normalized():
+    view = make_views(1)[0]
+    rays = view.bare_rays(9, 7)
+    assert rays.shape == (63, 2, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(rays[:, 1], axis=-1), 1.0, rtol=1e-5
+    )
