@@ -1,0 +1,131 @@
+"""Distill a trained NeRF into a new RGBD dataset from random orbit views.
+
+Parity with ``learn_nerf/scripts/render_new_dataset.py``: N random unit
+view directions at ``distance * |bbox|`` from the center, 60-degree FOV;
+writes ``{i:05}.json`` / ``.png`` / ``_depth.png`` plus a copied
+``metadata.json``.  Depth is ``clip(<coords - origin, z> / alpha, 0,
+max_depth) / max_depth`` where ``alpha > 0.9``, else max (``:104-121``),
+encoded as 16-bit PNG.  Consumed by the ``point_cloud`` tool.
+"""
+
+import argparse
+import math
+import os
+import shutil
+
+import numpy as np
+
+from ..checkpoint import load_params_pickle
+from ..data.camera import CameraView
+from ..data.dataset import ModelMetadata
+from ..render import Renderer, render_frame
+from .common import add_model_args, create_model, seeded_key
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=1024, help="rays per tile")
+    parser.add_argument("--coarse_samples", type=int, default=64)
+    parser.add_argument("--fine_samples", type=int, default=128)
+    parser.add_argument("--num_images", type=int, default=100)
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--distance", type=float, default=1.0)
+    parser.add_argument("--max_depth", type=float, default=10.0)
+    parser.add_argument("--model_path", type=str, default="nerf.pkl")
+    add_model_args(parser)
+    parser.add_argument("metadata_json", type=str)
+    parser.add_argument("output_dir", type=str)
+    args = parser.parse_args(argv)
+
+    if os.path.exists(args.output_dir):
+        raise FileExistsError(f"output directory exists: {args.output_dir}")
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    metadata = ModelMetadata.from_json(args.metadata_json)
+    print("loading model...")
+    coarse, fine, _ = create_model(args, metadata)
+    params = load_params_pickle(args.model_path)
+
+    renderer = Renderer(
+        coarse=coarse,
+        fine=fine,
+        bbox_min=tuple(metadata.bbox_min),
+        bbox_max=tuple(metadata.bbox_max),
+        coarse_ts=args.coarse_samples,
+        fine_ts=args.fine_samples,
+    )
+    background = jnp.asarray(params["background"], dtype=jnp.float32)
+    render = jax.jit(
+        lambda key, rays: render_frame(
+            renderer,
+            key,
+            rays,
+            params["coarse"],
+            params["fine"],
+            background,
+            tile_size=args.batch_size,
+            include_depth_outputs=True,
+        )
+    )
+
+    key = seeded_key(args.seed)
+    os.makedirs(args.output_dir)
+    shutil.copy(args.metadata_json, os.path.join(args.output_dir, "metadata.json"))
+
+    bbox_min = np.asarray(metadata.bbox_min)
+    bbox_max = np.asarray(metadata.bbox_max)
+    scale = float(np.linalg.norm(bbox_min - bbox_max))
+    center = (bbox_min + bbox_max) / 2
+
+    for frame in range(args.num_images):
+        print(f"rendering frame {frame}...")
+        z = np.random.normal(size=(3,))
+        z /= np.linalg.norm(z)
+        x = np.array([z[1], -z[0], 0.0])
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        view = CameraView(
+            camera_direction=tuple(z.tolist()),
+            camera_origin=tuple((-z * scale * args.distance + center).tolist()),
+            x_axis=tuple(x.tolist()),
+            y_axis=tuple(y.tolist()),
+            x_fov=60.0 * math.pi / 180,
+            y_fov=60.0 * math.pi / 180,
+        )
+        with open(os.path.join(args.output_dir, f"{frame:05}.json"), "w") as f:
+            f.write(view.to_json())
+
+        rays = view.bare_rays(args.size, args.size)
+        key, this_key = jax.random.split(key)
+        results = {k: np.asarray(v) for k, v in render(this_key, rays).items()}
+
+        z_dir = np.asarray(view.camera_direction, np.float32)
+        origin = np.asarray(view.camera_origin, np.float32)
+        raw_depth = ((results["coords"] - origin) @ z_dir)[:, None] / (
+            results["alphas"] + 1e-8
+        )
+        depth = (
+            np.clip(
+                np.where(results["alphas"] > 0.9, raw_depth, args.max_depth),
+                0.0,
+                args.max_depth,
+            )
+            / args.max_depth
+        )
+
+        image = ((results["outputs"].reshape(args.size, args.size, 3) + 1) * 127.5).astype(
+            np.uint8
+        )
+        Image.fromarray(image).save(os.path.join(args.output_dir, f"{frame:05}.png"))
+        depth_image = (depth.reshape(args.size, args.size) * 0xFFFF).astype(np.uint16)
+        Image.fromarray(depth_image).save(
+            os.path.join(args.output_dir, f"{frame:05}_depth.png")
+        )
+
+
+if __name__ == "__main__":
+    main()
