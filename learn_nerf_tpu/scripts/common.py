@@ -27,6 +27,34 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--ref_nerf", action="store_true")
 
 
+def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
+    """Flags for the TPU-native occupancy-grid fast path (no reference
+    counterpart — the reference always dense-samples)."""
+    parser.add_argument(
+        "--occupancy",
+        action="store_true",
+        help="use occupancy-grid accelerated sampling (single field model)",
+    )
+    parser.add_argument(
+        "--occ_candidates",
+        type=int,
+        default=192,
+        help="cheap candidate samples per ray before occupancy culling",
+    )
+    parser.add_argument(
+        "--occ_samples",
+        type=int,
+        default=32,
+        help="field-model samples per ray after culling",
+    )
+    parser.add_argument(
+        "--occ_grid",
+        type=int,
+        default=128,
+        help="occupancy grid resolution per axis",
+    )
+
+
 def create_model(
     args: argparse.Namespace, metadata: ModelMetadata
 ) -> Tuple[FieldModel, FieldModel, Dict[str, Any]]:

@@ -18,7 +18,7 @@ from ..checkpoint import load_params_pickle
 from ..data.camera import CameraView
 from ..data.dataset import ModelMetadata
 from ..render import Renderer, render_frame
-from .common import add_model_args, create_model, seeded_key
+from .common import add_model_args, add_occupancy_args, create_model, seeded_key
 
 
 def argparser() -> argparse.ArgumentParser:
@@ -40,6 +40,7 @@ def argparser() -> argparse.ArgumentParser:
     parser.add_argument("--height", type=int, default=512)
     parser.add_argument("--model_path", type=str, default="nerf.pkl")
     add_model_args(parser)
+    add_occupancy_args(parser)
     parser.add_argument("metadata_json", type=str)
     return parser
 
@@ -59,30 +60,76 @@ class RenderSession:
         params = load_params_pickle(args.model_path)
         self.params = params
 
-        self.renderer = Renderer(
-            coarse=coarse,
-            fine=fine,
-            bbox_min=tuple(self.metadata.bbox_min),
-            bbox_max=tuple(self.metadata.bbox_max),
-            coarse_ts=args.coarse_samples,
-            fine_ts=args.fine_samples,
-        )
         self.background = jnp.asarray(params["background"], dtype=jnp.float32)
         self.key = seeded_key(args.seed)
         self.args = args
         self.images = []
 
-        self._render = jax.jit(
-            lambda key, rays: render_frame(
-                self.renderer,
-                key,
-                rays,
-                params["coarse"],
-                params["fine"],
-                self.background,
-                tile_size=args.batch_size,
-            )["outputs"],
-        )
+        if getattr(args, "occupancy", False):
+            from ..acceleration import OccupancyGrid, OccupancyGridState
+            from ..occ_render import OccupancyRenderer
+
+            grid = OccupancyGrid(
+                bbox_min=tuple(self.metadata.bbox_min),
+                bbox_max=tuple(self.metadata.bbox_max),
+                resolution=int(params.get("occupancy_resolution", args.occ_grid)),
+            )
+            if "occupancy_densities" in params:
+                densities = jnp.asarray(params["occupancy_densities"])
+            else:
+                densities = grid.init().densities  # everything occupied
+            grid_state = OccupancyGridState(
+                densities=densities, step=jnp.zeros((), jnp.int32)
+            )
+            self.renderer = OccupancyRenderer(
+                model=fine,
+                grid=grid,
+                bbox_min=tuple(self.metadata.bbox_min),
+                bbox_max=tuple(self.metadata.bbox_max),
+                candidates=args.occ_candidates,
+                samples=args.occ_samples,
+            )
+
+            def frame(key, rays):
+                m = rays.shape[0]
+                tile = min(args.batch_size, m)
+                num_tiles = -(-m // tile)
+                rays_p = jnp.pad(rays, ((0, num_tiles * tile - m), (0, 0), (0, 0)))
+                keys = jax.random.split(key, num_tiles)
+
+                def tile_fn(a):
+                    k, r = a
+                    out, _ = self.renderer.render_rays(
+                        k, r, params["fine"], self.background, grid_state
+                    )
+                    return out["outputs"]
+
+                tiled = jax.lax.map(
+                    tile_fn, (keys, rays_p.reshape(num_tiles, tile, 2, 3))
+                )
+                return tiled.reshape(-1, 3)[:m]
+
+            self._render = jax.jit(frame)
+        else:
+            self.renderer = Renderer(
+                coarse=coarse,
+                fine=fine,
+                bbox_min=tuple(self.metadata.bbox_min),
+                bbox_max=tuple(self.metadata.bbox_max),
+                coarse_ts=args.coarse_samples,
+                fine_ts=args.fine_samples,
+            )
+            self._render = jax.jit(
+                lambda key, rays: render_frame(
+                    self.renderer,
+                    key,
+                    rays,
+                    params["coarse"],
+                    params["fine"],
+                    self.background,
+                    tile_size=args.batch_size,
+                )["outputs"],
+            )
 
     def render_view(self, view: CameraView) -> np.ndarray:
         import jax

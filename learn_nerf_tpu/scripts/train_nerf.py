@@ -12,9 +12,9 @@ import argparse
 import os
 
 from ..data.dataset import load_dataset
-from ..train import TrainLoop
+from ..train import OccupancyTrainLoop, TrainLoop
 from ..utils.logging import MetricLogger
-from .common import add_model_args, create_model, seeded_key
+from .common import add_model_args, add_occupancy_args, create_model, seeded_key
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -63,6 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile_dir", type=str, default=None, help="capture a profiler trace here"
     )
     add_model_args(parser)
+    add_occupancy_args(parser)
     parser.add_argument("data_dir", type=str)
     return parser
 
@@ -91,20 +92,37 @@ def main(argv=None):
 
     print("creating model and train loop...")
     coarse, fine, train_kwargs = create_model(args, data.metadata)
-    loop = TrainLoop(
-        coarse,
-        fine,
-        init_rng=init_key,
-        lr=args.lr,
-        coarse_ts=args.coarse_samples,
-        fine_ts=args.fine_samples,
-        bbox_min=data.metadata.bbox_min,
-        bbox_max=data.metadata.bbox_max,
-        density_penalty=args.density_penalty,
-        density_penalty_batch_size=args.density_penalty_batch_size,
-        **train_kwargs,
-    )
-    if args.full_state_path and os.path.exists(args.full_state_path):
+    if args.occupancy:
+        loop = OccupancyTrainLoop(
+            fine,
+            init_rng=init_key,
+            lr=args.lr,
+            bbox_min=data.metadata.bbox_min,
+            bbox_max=data.metadata.bbox_max,
+            candidates=args.occ_candidates,
+            samples=args.occ_samples,
+            grid_resolution=args.occ_grid,
+            **train_kwargs,
+        )
+    else:
+        loop = TrainLoop(
+            coarse,
+            fine,
+            init_rng=init_key,
+            lr=args.lr,
+            coarse_ts=args.coarse_samples,
+            fine_ts=args.fine_samples,
+            bbox_min=data.metadata.bbox_min,
+            bbox_max=data.metadata.bbox_max,
+            density_penalty=args.density_penalty,
+            density_penalty_batch_size=args.density_penalty_batch_size,
+            **train_kwargs,
+        )
+    if (
+        args.full_state_path
+        and os.path.exists(args.full_state_path)
+        and hasattr(loop, "load_full")
+    ):
         print(f"loading full train state: {args.full_state_path}")
         loop.load_full(args.full_state_path)
     elif os.path.exists(args.save_path):
@@ -144,7 +162,7 @@ def main(argv=None):
             logger.log_step(i, losses)
             if i and i % args.save_interval == 0:
                 loop.save(args.save_path)
-                if args.full_state_path:
+                if args.full_state_path and hasattr(loop, "save_full"):
                     loop.save_full(args.full_state_path)
             if args.steps is not None and i + 1 >= args.steps:
                 break
@@ -153,7 +171,7 @@ def main(argv=None):
             profile_ctx.__exit__(None, None, None)
 
     loop.save(args.save_path)
-    if args.full_state_path:
+    if args.full_state_path and hasattr(loop, "save_full"):
         loop.save_full(args.full_state_path)
 
 

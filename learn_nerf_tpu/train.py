@@ -24,7 +24,9 @@ import optax
 from flax.training import train_state
 from jax.sharding import Mesh
 
+from .acceleration import OccupancyGrid
 from .models.base import FieldModel
+from .occ_render import OccupancyRenderer
 from .parallel.mesh import batch_sharding, default_mesh, replicated_sharding
 from .render import Renderer
 
@@ -246,3 +248,172 @@ class TrainLoop:
 
         state = load_train_state(path, self.state)
         self.state = jax.device_put(state, replicated_sharding(self.mesh))
+
+
+def compute_losses_occupancy(
+    renderer: OccupancyRenderer,
+    params: Dict[str, Any],
+    key: jax.Array,
+    batch: Array,
+    grid_state,
+    loss_weights: Dict[str, float],
+) -> Tuple[Array, Dict[str, Array]]:
+    """Loss for the occupancy-accelerated single-model path.
+
+    Mirrors :func:`compute_losses` with one field model: the log dict uses
+    the ``fine`` prefix so monitoring/plot tooling keeps working.
+    """
+    out, aux = renderer.render_rays(
+        key, batch[:, :2], params["fine"], params["background"], grid_state
+    )
+    targets = batch[:, 2]
+    fine_loss = jnp.mean((out["outputs"] - targets) ** 2)
+    loss_dict = dict(fine=fine_loss)
+    total = fine_loss
+    for name, value in aux.items():
+        loss_dict[f"fine_{name}"] = value
+        total = total + loss_weights[name] * value
+    return total, loss_dict
+
+
+class OccupancyTrainLoop:
+    """Training loop for the occupancy-grid fast path (single field model).
+
+    The occupancy grid state is carried alongside the optimizer state and
+    refreshed every ``update_interval`` steps with a partial EMA update
+    (``acceleration.OccupancyGrid.update``); the grid is saved into the
+    checkpoint so rendering can reuse it.
+    """
+
+    def __init__(
+        self,
+        model: FieldModel,
+        init_rng: jax.Array,
+        lr: float,
+        bbox_min,
+        bbox_max,
+        candidates: int = 192,
+        samples: int = 32,
+        grid_resolution: int = 128,
+        update_interval: int = 16,
+        update_cells: int = 2**17,
+        adam_b1: float = 0.9,
+        adam_b2: float = 0.999,
+        adam_eps: float = 1e-7,
+        loss_weights: Optional[Dict[str, float]] = None,
+        mesh: Optional[Mesh] = None,
+    ):
+        bbox_min_t = tuple(np.asarray(bbox_min, dtype=np.float32).tolist())
+        bbox_max_t = tuple(np.asarray(bbox_max, dtype=np.float32).tolist())
+        self.grid = OccupancyGrid(
+            bbox_min=bbox_min_t, bbox_max=bbox_max_t, resolution=grid_resolution
+        )
+        self.renderer = OccupancyRenderer(
+            model=model,
+            grid=self.grid,
+            bbox_min=bbox_min_t,
+            bbox_max=bbox_max_t,
+            candidates=candidates,
+            samples=samples,
+        )
+        self.model = model
+        self.loss_weights = (
+            loss_weights if loss_weights is not None else default_loss_weights()
+        )
+        self.update_interval = update_interval
+        self.update_cells = update_cells
+        self.mesh = mesh if mesh is not None else default_mesh()
+
+        example = jnp.zeros((1, 3))
+        variables = model.init(dict(params=init_rng), example, example)
+        state = train_state.TrainState.create(
+            apply_fn=None,
+            params=dict(
+                fine=variables["params"],
+                background=jnp.array([-1.0, -1.0, -1.0]),
+            ),
+            tx=optax.adam(lr, b1=adam_b1, b2=adam_b2, eps=adam_eps),
+        )
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        self.grid_state = jax.device_put(
+            self.grid.init(), replicated_sharding(self.mesh)
+        )
+        self._batch_sharding = batch_sharding(self.mesh)
+
+        loss_fn = partial(
+            compute_losses_occupancy, self.renderer, loss_weights=self.loss_weights
+        )
+
+        @partial(jax.jit, donate_argnums=0)
+        def step(state, key, batch, grid_state):
+            grads, values = jax.grad(
+                lambda p: loss_fn(p, key=key, batch=batch, grid_state=grid_state),
+                has_aux=True,
+            )(state.params)
+            values = dict(
+                values, grad_norm=tree_norm(grads), param_norm=tree_norm(state.params)
+            )
+            return state.apply_gradients(grads=grads), values
+
+        self._step_fn = step
+
+        @partial(jax.jit, donate_argnums=0, static_argnums=3)
+        def update_grid(grid_state, params, key, num_cells):
+            return self.grid.update(
+                grid_state, self.model, params["fine"], key, num_cells=num_cells
+            )
+
+        self._update_grid_fn = update_grid
+
+    def step(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
+        step_key, grid_key = jax.random.split(key)
+        if int(self.state.step) % self.update_interval == 0:
+            self.grid_state = self._update_grid_fn(
+                self.grid_state, self.state.params, grid_key, self.update_cells
+            )
+        batch = jax.device_put(batch, self._batch_sharding)
+        self.state, values = self._step_fn(
+            self.state, step_key, batch, self.grid_state
+        )
+        return values
+
+    def eval_losses(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
+        if not hasattr(self, "_eval_fn"):
+            loss_fn = partial(
+                compute_losses_occupancy,
+                self.renderer,
+                loss_weights=self.loss_weights,
+            )
+            self._eval_fn = jax.jit(
+                lambda params, key, batch, gs: loss_fn(
+                    params, key=key, batch=batch, grid_state=gs
+                )[1]
+            )
+        batch = jax.device_put(batch, self._batch_sharding)
+        return self._eval_fn(self.state.params, key, batch, self.grid_state)
+
+    def save(self, path: str) -> None:
+        """Checkpoint: params plus the occupancy grid densities."""
+        from .checkpoint import save_params_pickle
+
+        payload = dict(
+            self.state.params,
+            occupancy_densities=self.grid_state.densities,
+            occupancy_resolution=np.int32(self.grid.resolution),
+        )
+        save_params_pickle(path, payload)
+
+    def load(self, path: str) -> None:
+        from .checkpoint import load_params_pickle
+
+        payload = load_params_pickle(path)
+        params = dict(fine=payload["fine"], background=payload["background"])
+        state = self.state.replace(params=params)
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        if "occupancy_densities" in payload:
+            self.grid_state = jax.device_put(
+                self.grid_state.replace(
+                    densities=jnp.asarray(payload["occupancy_densities"])
+                ),
+                replicated_sharding(self.mesh),
+            )

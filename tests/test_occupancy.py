@@ -1,0 +1,238 @@
+"""Occupancy-grid fast path tests: compaction, grid updates, renderer,
+training loop, and end-to-end learning via the CLI flags."""
+
+import numpy as np
+import pytest
+
+
+def test_compact_occupied_samples_matches_numpy():
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import compact_occupied_samples
+
+    rng = np.random.RandomState(0)
+    n, c, k = 13, 24, 6
+    ts = np.sort(rng.rand(n, c).astype(np.float32), axis=1)
+    occ = rng.rand(n, c) < 0.3
+
+    sel_ts, sel_mask = map(
+        np.asarray, compact_occupied_samples(jnp.asarray(ts), jnp.asarray(occ), k)
+    )
+    for i in range(n):
+        expected = ts[i, occ[i]][:k]
+        got = sel_ts[i][sel_mask[i]]
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+        assert sel_mask[i].sum() == min(k, occ[i].sum())
+        # Valid entries come first and are sorted; padding values are
+        # masked out and may be arbitrary.
+        valid = sel_ts[i][sel_mask[i]]
+        assert np.all(np.diff(valid) >= -1e-6)
+        assert np.all(sel_mask[i][: sel_mask[i].sum()])
+
+
+def test_grid_update_marks_dense_cells():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+
+    class Blob(nn.Module):
+        """Density 5 inside a sphere of radius 0.25 at origin, else 0."""
+
+        @nn.compact
+        def __call__(self, x, d):
+            r = jnp.linalg.norm(x, axis=-1, keepdims=True)
+            density = jnp.where(r < 0.25, 5.0, 0.0)
+            return density, jnp.zeros_like(x), {}
+
+    model = Blob()
+    params = model.init(
+        dict(params=jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    ).get("params", {})
+
+    grid = OccupancyGrid(
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16, decay=0.3
+    )
+    state = grid.init()
+    key = jax.random.PRNGKey(1)
+    for _ in range(12):  # full updates: all cells re-evaluated each time
+        key, sk = jax.random.split(key)
+        state = grid.update(state, model, params, sk)
+
+    # Center cell occupied, corner cell not.
+    center = jnp.asarray([[0.0, 0.0, 0.0]])
+    corner = jnp.asarray([[0.9, 0.9, 0.9]])
+    assert bool(grid.occupied(state, center)[0])
+    assert not bool(grid.occupied(state, corner)[0])
+
+    # Partial updates also converge: the decay must outlive the expected
+    # refresh interval (1024/4096 cells per update -> ~4 updates between
+    # refreshes; decay 0.8 keeps a dense cell alive ~21 updates).
+    grid2 = OccupancyGrid(
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16, decay=0.8
+    )
+    state2 = grid2.init()
+    for _ in range(40):
+        key, sk = jax.random.split(key)
+        state2 = grid2.update(state2, model, params, sk, num_cells=1024)
+    assert bool(grid2.occupied(state2, center)[0])
+    assert not bool(grid2.occupied(state2, corner)[0])
+
+
+def test_occupancy_renderer_finite_and_masked():
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1)
+    params = model.init(
+        dict(params=jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    renderer = OccupancyRenderer(
+        model=model,
+        grid=grid,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=32,
+        samples=8,
+    )
+    rng = np.random.RandomState(0)
+    origins = rng.randn(64, 3).astype(np.float32) * 3
+    dirs = rng.randn(64, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.stack([origins, dirs], axis=1))
+
+    out, aux = renderer.render_rays(
+        jax.random.PRNGKey(1), rays, params, jnp.asarray([0.5, 0.5, 0.5]),
+        grid.init(),
+    )
+    assert out["outputs"].shape == (64, 3)
+    assert np.all(np.isfinite(np.asarray(out["outputs"])))
+    # Rays that miss the bbox return the background exactly.
+    from learn_nerf_tpu.ops.geometry import ray_bbox_range
+
+    _, _, mask = ray_bbox_range(
+        jnp.asarray(origins), jnp.asarray(dirs), jnp.full(3, -1.0), jnp.ones(3)
+    )
+    missed = ~np.asarray(mask)
+    if missed.any():
+        np.testing.assert_allclose(
+            np.asarray(out["outputs"])[missed], 0.5, atol=1e-6
+        )
+
+    # With an empty grid (all cells dead), everything composites to bg.
+    dead = grid.init().replace(densities=jnp.zeros_like(grid.init().densities))
+    out2, _ = renderer.render_rays(
+        jax.random.PRNGKey(1), rays, params, jnp.asarray([0.5, 0.5, 0.5]), dead
+    )
+    np.testing.assert_allclose(np.asarray(out2["outputs"]), 0.5, atol=1e-5)
+
+
+def test_occupancy_train_loop_learns(tmp_path):
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    model = NeRFModel(hidden_dim=32, color_layer_dim=16, input_layers=2, mid_layers=2)
+    loop = OccupancyTrainLoop(
+        model,
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-2,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=32,
+        samples=8,
+        grid_resolution=16,
+        update_interval=4,
+        update_cells=512,
+    )
+    rng = np.random.RandomState(0)
+    origins = rng.randn(128, 3).astype(np.float32) * 2
+    dirs = rng.randn(128, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    colors = rng.rand(128, 3).astype(np.float32) * 2 - 1
+    batch = np.stack([origins, dirs, colors], axis=1)
+
+    key = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(8):
+        key, sk = jax.random.split(key)
+        vals = loop.step(sk, batch)
+        if first is None:
+            first = float(vals["fine"])
+    assert float(vals["fine"]) < first
+    assert int(loop.grid_state.step) >= 2  # grid updates actually ran
+
+    # Checkpoint roundtrip incl. grid densities.
+    path = str(tmp_path / "occ.pkl")
+    loop.save(path)
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    assert {"fine", "background", "occupancy_densities"} <= set(payload)
+
+    loop2 = OccupancyTrainLoop(
+        model,
+        init_rng=jax.random.PRNGKey(42),
+        lr=1e-2,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=32,
+        samples=8,
+        grid_resolution=16,
+    )
+    loop2.load(path)
+    np.testing.assert_allclose(
+        np.asarray(loop2.grid_state.densities),
+        np.asarray(loop.grid_state.densities),
+    )
+
+
+def test_occupancy_cli_end_to_end(tmp_path):
+    from learn_nerf_tpu.scripts import render_nerf, train_nerf
+
+    from .synthetic_scene import write_dataset
+
+    scene = write_dataset(str(tmp_path / "scene"), num_views=6, resolution=16)
+    save_path = str(tmp_path / "occ.pkl")
+    train_nerf.main(
+        [
+            "--seed", "0",
+            "--lr", "1e-3",
+            "--batch_size", "256",
+            "--steps", "6",
+            "--occupancy",
+            "--occ_candidates", "32",
+            "--occ_samples", "8",
+            "--occ_grid", "16",
+            "--save_path", save_path,
+            scene,
+        ]
+    )
+    out_png = str(tmp_path / "out.png")
+    render_nerf.main(
+        [
+            "--seed", "0",
+            "--batch_size", "128",
+            "--occupancy",
+            "--occ_candidates", "32",
+            "--occ_samples", "8",
+            "--width", "16",
+            "--height", "16",
+            "--model_path", save_path,
+            scene + "/metadata.json",
+            scene + "/0000.json",
+            out_png,
+        ]
+    )
+    from PIL import Image
+
+    img = np.asarray(Image.open(out_png))
+    assert img.shape == (16, 16, 3)
