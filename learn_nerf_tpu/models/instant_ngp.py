@@ -67,10 +67,14 @@ class InstantNGPModel(FieldModel):
     density_dim: int = 16
     density_layers: int = 1
     color_layers: int = 2
+    # "bfloat16" runs the small MLPs in bf16 on the MXU; the hash encoding
+    # interpolation stays f32 (cheap, and the table grads need f32 scatter).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: Array, d: Array) -> FieldOutput:
-        d_emb = sinusoidal_features(d, self.d_freqs)
+        dtype = jnp.dtype(self.compute_dtype)
+        d_emb = sinusoidal_features(d, self.d_freqs).astype(dtype)
         out = HashGridEncoding(
             table_sizes=self.table_sizes,
             grid_sizes=self.grid_sizes,
@@ -78,15 +82,16 @@ class InstantNGPModel(FieldModel):
             bbox_max=self.bbox_max,
             feature_dim=self.table_feature_dim,
             smooth=self.table_smooth,
-        )(x)
+        )(x).astype(dtype)
         for _ in range(self.density_layers):
-            out = nn.relu(nn.Dense(self.hidden_dim)(out))
-        out = nn.Dense(self.density_dim)(out)
-        density = jnp.exp(out[..., 0:1])
+            out = nn.relu(nn.Dense(self.hidden_dim, dtype=dtype)(out))
+        out = nn.Dense(self.density_dim, dtype=dtype)(out)
+        # exp in f32: bf16 exp saturates quickly and densities are unbounded.
+        density = jnp.exp(out[..., 0:1].astype(jnp.float32))
         out = jnp.concatenate([d_emb, out], axis=-1)
         for _ in range(self.color_layers):
-            out = nn.relu(nn.Dense(self.hidden_dim)(out))
-        color = nn.tanh(nn.Dense(3)(out))
+            out = nn.relu(nn.Dense(self.hidden_dim, dtype=dtype)(out))
+        color = nn.tanh(nn.Dense(3, dtype=dtype)(out).astype(jnp.float32))
         return density, color, {}
 
 

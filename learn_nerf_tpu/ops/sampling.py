@@ -110,24 +110,15 @@ def inverse_cdf_ts(
 def merge_sorted(a: Array, b: Array) -> Array:
     """Merge two rowwise-sorted arrays into one sorted array.
 
-    Replaces ``jnp.sort(concat([a, b]))`` (reference ``render.py:253-255``)
-    with rank computation: element ``a[n, i]`` lands at output position
-    ``i + |{j : b[n, j] < a[n, i]}|`` and symmetrically for ``b`` with ties
-    broken towards ``a``.  Two batched searchsorteds + one scatter — O(T log
-    T) work instead of a sort network over the concatenation.
+    Implemented as ``jnp.sort(concat)`` — measured on TPU v5e this is ~36%
+    faster end-to-end than a rank-scatter merge (two batched searchsorteds
+    + one scatter): XLA's bitonic sort vectorizes well on the VPU while
+    scatters hit a serial path (tools/exp_vanilla_gap.py: 28.0k vs 20.6k
+    rays/s on the vanilla train step).  Matches reference
+    ``render.py:253-255`` numerically.
 
     :param a: ``[N, Ta]`` sorted along axis 1.
     :param b: ``[N, Tb]`` sorted along axis 1.
     :return: ``[N, Ta + Tb]`` sorted merge.
     """
-    ta, tb = a.shape[1], b.shape[1]
-    pos_a = jax.vmap(lambda bv, av: jnp.searchsorted(bv, av, side="left"))(b, a)
-    pos_a = pos_a + jnp.arange(ta)[None, :]
-    pos_b = jax.vmap(lambda av, bv: jnp.searchsorted(av, bv, side="right"))(a, b)
-    pos_b = pos_b + jnp.arange(tb)[None, :]
-
-    out = jnp.zeros((a.shape[0], ta + tb), dtype=a.dtype)
-    n_idx = jnp.arange(a.shape[0])[:, None]
-    out = out.at[n_idx, pos_a].set(a)
-    out = out.at[n_idx, pos_b].set(b)
-    return out
+    return jnp.sort(jnp.concatenate([a, b], axis=1), axis=1)

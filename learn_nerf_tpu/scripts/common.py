@@ -25,6 +25,11 @@ from ..models import (
 def add_model_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--instant_ngp", action="store_true")
     parser.add_argument("--ref_nerf", action="store_true")
+    parser.add_argument(
+        "--bf16",
+        action="store_true",
+        help="run the model MLPs in bfloat16 on the MXU (params stay f32)",
+    )
 
 
 def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
@@ -59,11 +64,15 @@ def create_model(
     args: argparse.Namespace, metadata: ModelMetadata
 ) -> Tuple[FieldModel, FieldModel, Dict[str, Any]]:
     """Build the (coarse, fine) pair plus extra TrainLoop kwargs."""
+    dtype_kwargs = (
+        dict(compute_dtype="bfloat16") if getattr(args, "bf16", False) else dict()
+    )
     if args.instant_ngp:
         if args.ref_nerf:
+            # Ref-NeRF's analytic normals need f32 gradients; no bf16 mode.
             model_cls = partial(InstantNGPRefNeRFModel, sh_degree=4)
         else:
-            model_cls = InstantNGPModel
+            model_cls = partial(InstantNGPModel, **dtype_kwargs)
         bbox_kwargs = dict(
             bbox_min=tuple(metadata.bbox_min), bbox_max=tuple(metadata.bbox_max)
         )
@@ -82,7 +91,7 @@ def create_model(
         if args.ref_nerf:
             model_cls = partial(RefNeRFModel, sh_degree=4)
         else:
-            model_cls = NeRFModel
+            model_cls = partial(NeRFModel, **dtype_kwargs)
         coarse = model_cls()
         fine = model_cls()
         train_kwargs = dict()
