@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--profile_dir", type=str, default=None, help="capture a profiler trace here"
     )
+    # Multi-host data parallelism (jax.distributed; each process loads its
+    # own view subset — see data.shuffle and parallel.mesh).
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     add_model_args(parser)
     add_occupancy_args(parser)
     parser.add_argument("data_dir", type=str)
@@ -72,6 +77,14 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.test_batch_size is None:
         args.test_batch_size = args.batch_size
+
+    from ..parallel.mesh import init_distributed
+
+    init_distributed(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
 
     import jax
 
