@@ -35,27 +35,21 @@ def main(argv=None):
         img_path = os.path.join(args.input_dir, frame["file_path"] + ".png")
         width, height = Image.open(img_path).size
 
-        matrix = np.asarray(frame["transform_matrix"])
-        origin = matrix[:3, -1]
-        rot = matrix[:3, :3]
-        x = rot @ np.array([1.0, 0.0, 0.0])
-        y = rot @ np.array([0.0, -1.0, 0.0])
-        z = rot @ np.array([0.0, 0.0, -1.0])
-        y_fov = 2 * math.atan(math.tan(x_fov / 2) * height / width)
-
+        pose = np.asarray(frame["transform_matrix"], dtype=np.float64)
+        # OpenGL camera-to-world: columns of the rotation block are the
+        # camera's right/up/backward axes; this repo's convention keeps
+        # right but flips up (y down) and backward (z forward).
+        camera = dict(
+            origin=pose[:3, 3].tolist(),
+            x=pose[:3, 0].tolist(),
+            y=(-pose[:3, 1]).tolist(),
+            z=(-pose[:3, 2]).tolist(),
+            x_fov=x_fov,
+            y_fov=2 * math.atan(math.tan(x_fov / 2) * height / width),
+        )
         out_base = os.path.join(args.output_dir, f"{i:04}")
         with open(out_base + ".json", "w") as f:
-            json.dump(
-                dict(
-                    origin=origin.tolist(),
-                    x_fov=x_fov,
-                    y_fov=y_fov,
-                    x=x.tolist(),
-                    y=y.tolist(),
-                    z=z.tolist(),
-                ),
-                f,
-            )
+            json.dump(camera, f)
         shutil.copyfile(img_path, out_base + ".png")
 
     with open(os.path.join(args.output_dir, "metadata.json"), "w") as f:

@@ -18,39 +18,44 @@ import numpy as np
 from PIL import Image
 
 
+def decode_pose(pose_bound: np.ndarray):
+    """Decode one poses_bounds row into this repo's camera JSON dict plus
+    the view's loose bbox contribution (``pos +- z_far``).
+
+    Axis mapping: bmild/nerf's load_llff.py swaps ``(x, y, z) <-
+    (y, -x, z)``; composing with this repo's OpenGL flip (negate y and z,
+    as in the blender converter) gives ``x <- y_in``, ``y <- x_in``,
+    ``z <- -z_in``.
+    """
+    cols = pose_bound[:15].reshape(3, 5)
+    height, width, focal = cols[:, 4]
+    z_far = pose_bound[16]
+    position = cols[:, 3]
+    camera = dict(
+        origin=position.tolist(),
+        x_fov=float(2 * np.arctan2(width, 2 * focal)),
+        y_fov=float(2 * np.arctan2(height, 2 * focal)),
+        x=cols[:, 1].tolist(),
+        y=cols[:, 0].tolist(),
+        z=(-cols[:, 2]).tolist(),
+    )
+    return camera, position - z_far, position + z_far
+
+
 def process_img(
     output_dir: str, factor: float, item: Tuple[int, Tuple[np.ndarray, str]]
 ):
     i, (pose_bound, img_path) = item
-    info = pose_bound[:15].reshape([3, 5])
-    x, y, z, pos, hwf = info.T
-    h, w, focal = hwf
-    _z_near, z_far = pose_bound[15:]
-
-    # bmild/nerf load_llff.py axis convention, then the same y/z negation
-    # as the blender converter.
-    x, y, z = y, -x, z
-    y = -y
-    z = -z
-
-    info = dict(
-        origin=pos.tolist(),
-        x_fov=float(2 * np.arctan(w / (2 * focal))),
-        y_fov=float(2 * np.arctan(h / (2 * focal))),
-        x=x.tolist(),
-        y=y.tolist(),
-        z=z.tolist(),
-    )
+    camera, local_min, local_max = decode_pose(pose_bound)
     with open(os.path.join(output_dir, f"{i:05}.json"), "w") as f:
-        json.dump(info, f)
+        json.dump(camera, f)
 
-    new_img = Image.open(img_path).convert("RGB")
+    img = Image.open(img_path).convert("RGB")
     if factor != 1.0:
-        old_w, old_h = new_img.size
-        new_img = new_img.resize((round(old_w * factor), round(old_h * factor)))
-    new_img.save(os.path.join(output_dir, f"{i:05}.png"))
+        img = img.resize((round(img.width * factor), round(img.height * factor)))
+    img.save(os.path.join(output_dir, f"{i:05}.png"))
 
-    return pos - z_far, pos + z_far
+    return local_min, local_max
 
 
 def main(argv=None):

@@ -109,8 +109,17 @@ def hash_grid_encode(
     bbox_min: Array,
     bbox_max: Array,
     smooth: bool = False,
+    fuse_levels: bool = False,
 ) -> Array:
     """Encode points with all hash-grid levels, concatenated.
+
+    ``fuse_levels=True`` runs ONE gather over the per-level tables
+    concatenated with row offsets instead of L separate gathers.  Kept for
+    experimentation but OFF by default: although isolated scatter
+    throughput improves with operand size (tools/exp_scatter.py), the
+    end-to-end occupancy train step measured 2.6x SLOWER fused (3.4k vs
+    8.9k rays/s on v5e) — XLA pipelines the 16 independent per-level
+    gathers across the step far better than one rank-5 gather.
 
     :param tables: per-level ``[rows_l, F]`` feature tables.
     :param x: ``[..., 3]`` points.
@@ -121,10 +130,35 @@ def hash_grid_encode(
     :param smooth: C1 interpolation mode.
     :return: ``[..., L * F]`` features.
     """
-    outs: List[Array] = []
+    if not fuse_levels:
+        outs: List[Array] = []
+        for table, g, t in zip(tables, grid_sizes, table_sizes):
+            coords, weights = corner_weights_and_coords(
+                x, g, bbox_min, bbox_max, smooth
+            )
+            idx = level_indices(coords, g, t)  # [..., 8]
+            feats = jnp.take(table, idx, axis=0)  # [..., 8, F]
+            outs.append(jnp.sum(weights[..., None] * feats, axis=-2))
+        return jnp.concatenate(outs, axis=-1)
+
+    lead = x.shape[:-1]
+    levels = len(tables)
+    f = tables[0].shape[-1]
+
+    all_idx = []
+    all_weights = []
+    offset = 0
     for table, g, t in zip(tables, grid_sizes, table_sizes):
         coords, weights = corner_weights_and_coords(x, g, bbox_min, bbox_max, smooth)
-        idx = level_indices(coords, g, t)  # [..., 8]
-        feats = jnp.take(table, idx, axis=0)  # [..., 8, F]
-        outs.append(jnp.sum(weights[..., None] * feats, axis=-2))
-    return jnp.concatenate(outs, axis=-1)
+        all_idx.append(level_indices(coords, g, t) + offset)  # [..., 8]
+        all_weights.append(weights)
+        offset += table.shape[0]
+
+    big_table = jnp.concatenate(list(tables), axis=0)  # [sum rows, F]
+    idx = jnp.stack(all_idx, axis=-2)  # [..., L, 8]
+    weights = jnp.stack(all_weights, axis=-2)  # [..., L, 8]
+    feats = big_table.at[idx].get(
+        mode="promise_in_bounds"
+    )  # [..., L, 8, F] — the single fused gather
+    out = jnp.sum(weights[..., None] * feats, axis=-2)  # [..., L, F]
+    return out.reshape(*lead, levels * f)

@@ -11,8 +11,8 @@ TPU-first design differences:
 * one straight-line jitted program over ``[N, T]`` tensors — no per-ray
   ``vmap``, no ``[N*T, 3]`` flatten/reshape round-trips (the models accept
   leading batch dims directly),
-* the fine pass merges the two already-sorted sample streams with a rank
-  scatter instead of a general sort (``ops/sampling.merge_sorted``),
+* the fine pass merges coarse and new samples via ``ops/sampling.
+  merge_sorted`` (sort-based — measured fastest on TPU, see its docstring),
 * whole frames render as one device program: rays are tiled and scanned
   with ``lax.map`` inside a single jit instead of a chunked host loop with
   per-chunk device syncs (reference ``scripts/render_nerf.py:88-92``).

@@ -115,6 +115,8 @@ def main(argv=None):
             candidates=args.occ_candidates,
             samples=args.occ_samples,
             grid_resolution=args.occ_grid,
+            density_penalty=args.density_penalty,
+            density_penalty_batch_size=args.density_penalty_batch_size,
             **train_kwargs,
         )
     else:

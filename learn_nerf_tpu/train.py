@@ -257,12 +257,17 @@ def compute_losses_occupancy(
     batch: Array,
     grid_state,
     loss_weights: Dict[str, float],
+    density_penalty: Optional[float] = None,
+    density_penalty_batch_size: int = 128,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Loss for the occupancy-accelerated single-model path.
 
     Mirrors :func:`compute_losses` with one field model: the log dict uses
-    the ``fine`` prefix so monitoring/plot tooling keeps working.
+    the ``fine`` prefix so monitoring/plot tooling keeps working, and the
+    optional density penalty (reference ``train.py:153-163``) applies to
+    the single model.
     """
+    key, density_key = jax.random.split(key)
     out, aux = renderer.render_rays(
         key, batch[:, :2], params["fine"], params["background"], grid_state
     )
@@ -273,6 +278,17 @@ def compute_losses_occupancy(
     for name, value in aux.items():
         loss_dict[f"fine_{name}"] = value
         total = total + loss_weights[name] * value
+    if density_penalty is not None:
+        penalty = average_density(
+            density_key,
+            renderer.model,
+            params["fine"],
+            jnp.asarray(renderer.bbox_min, dtype=jnp.float32),
+            jnp.asarray(renderer.bbox_max, dtype=jnp.float32),
+            density_penalty_batch_size,
+        )
+        loss_dict["fine_density"] = penalty
+        total = total + density_penalty * penalty
     return total, loss_dict
 
 
@@ -301,6 +317,8 @@ class OccupancyTrainLoop:
         adam_b2: float = 0.999,
         adam_eps: float = 1e-7,
         loss_weights: Optional[Dict[str, float]] = None,
+        density_penalty: Optional[float] = None,
+        density_penalty_batch_size: int = 128,
         mesh: Optional[Mesh] = None,
     ):
         bbox_min_t = tuple(np.asarray(bbox_min, dtype=np.float32).tolist())
@@ -341,8 +359,13 @@ class OccupancyTrainLoop:
         self._batch_sharding = batch_sharding(self.mesh)
 
         loss_fn = partial(
-            compute_losses_occupancy, self.renderer, loss_weights=self.loss_weights
+            compute_losses_occupancy,
+            self.renderer,
+            loss_weights=self.loss_weights,
+            density_penalty=density_penalty,
+            density_penalty_batch_size=density_penalty_batch_size,
         )
+        self._loss_fn = loss_fn
 
         @partial(jax.jit, donate_argnums=0)
         def step(state, key, batch, grid_state):
@@ -379,11 +402,7 @@ class OccupancyTrainLoop:
 
     def eval_losses(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
         if not hasattr(self, "_eval_fn"):
-            loss_fn = partial(
-                compute_losses_occupancy,
-                self.renderer,
-                loss_weights=self.loss_weights,
-            )
+            loss_fn = self._loss_fn
             self._eval_fn = jax.jit(
                 lambda params, key, batch, gs: loss_fn(
                     params, key=key, batch=batch, grid_state=gs

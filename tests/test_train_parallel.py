@@ -166,3 +166,49 @@ def test_render_frame_tiled_equals_direct():
     assert out["alphas"].shape == (100, 1)
     assert out["coords"].shape == (100, 3)
     assert np.all(np.isfinite(np.asarray(out["outputs"])))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from learn_nerf_tpu.checkpoint_orbax import load_orbax, save_orbax
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import TrainLoop
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1)
+
+    def new_loop():
+        return TrainLoop(
+            model, model, init_rng=jax.random.PRNGKey(0), lr=1e-2,
+            coarse_ts=4, fine_ts=4, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        )
+
+    loop = new_loop()
+    loop.step(jax.random.PRNGKey(1), make_batch(32))
+    path = str(tmp_path / "orbax_ckpt")
+    save_orbax(path, loop.state.params)
+
+    other = new_loop()
+    restored = load_orbax(path, other.state.params)
+    a = jax.tree_util.tree_leaves(loop.state.params)
+    b = jax.tree_util.tree_leaves(restored)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_occupancy_density_penalty_logged():
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1)
+    loop = OccupancyTrainLoop(
+        model, init_rng=jax.random.PRNGKey(0), lr=1e-3,
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=16, samples=4, grid_resolution=8,
+        density_penalty=0.1, density_penalty_batch_size=32,
+    )
+    vals = loop.step(jax.random.PRNGKey(1), make_batch(32))
+    assert "fine_density" in vals
+    assert np.isfinite(float(vals["fine_density"]))
