@@ -19,7 +19,7 @@ from ..checkpoint import load_params_pickle
 from ..data.camera import CameraView
 from ..data.dataset import ModelMetadata
 from ..render import Renderer, render_frame
-from .common import add_model_args, create_model, seeded_key
+from .common import add_model_args, add_occupancy_args, create_model, seeded_key
 
 
 def main(argv=None):
@@ -34,6 +34,7 @@ def main(argv=None):
     parser.add_argument("--max_depth", type=float, default=10.0)
     parser.add_argument("--model_path", type=str, default="nerf.pkl")
     add_model_args(parser)
+    add_occupancy_args(parser)
     parser.add_argument("metadata_json", type=str)
     parser.add_argument("output_dir", type=str)
     args = parser.parse_args(argv)
@@ -50,27 +51,81 @@ def main(argv=None):
     coarse, fine, _ = create_model(args, metadata)
     params = load_params_pickle(args.model_path)
 
-    renderer = Renderer(
-        coarse=coarse,
-        fine=fine,
-        bbox_min=tuple(metadata.bbox_min),
-        bbox_max=tuple(metadata.bbox_max),
-        coarse_ts=args.coarse_samples,
-        fine_ts=args.fine_samples,
-    )
     background = jnp.asarray(params["background"], dtype=jnp.float32)
-    render = jax.jit(
-        lambda key, rays: render_frame(
-            renderer,
-            key,
-            rays,
-            params["coarse"],
-            params["fine"],
-            background,
-            tile_size=args.batch_size,
-            include_depth_outputs=True,
-        )
+    bbox = dict(
+        bbox_min=tuple(metadata.bbox_min), bbox_max=tuple(metadata.bbox_max)
     )
+    if args.occupancy:
+        from ..acceleration import OccupancyGrid, OccupancyGridState
+        from ..occ_render import OccupancyRenderer
+
+        grid = OccupancyGrid(
+            resolution=int(params.get("occupancy_resolution", args.occ_grid)),
+            **bbox,
+        )
+        densities = (
+            jnp.asarray(params["occupancy_densities"])
+            if "occupancy_densities" in params
+            else grid.init().densities
+        )
+        grid_state = OccupancyGridState(
+            densities=densities, step=jnp.zeros((), jnp.int32)
+        )
+        occ_renderer = OccupancyRenderer(
+            model=fine,
+            grid=grid,
+            candidates=args.occ_candidates,
+            samples=args.occ_samples,
+            **bbox,
+        )
+
+        def frame(key, rays):
+            m = rays.shape[0]
+            tile = min(args.batch_size, m)
+            num_tiles = -(-m // tile)
+            rays_p = jnp.pad(rays, ((0, num_tiles * tile - m), (0, 0), (0, 0)))
+            keys = jax.random.split(key, num_tiles)
+
+            def tile_fn(a):
+                k, r = a
+                out, _ = occ_renderer.render_rays(
+                    k, r, params["fine"], background, grid_state
+                )
+                return dict(
+                    outputs=out["outputs"],
+                    alphas=out["alphas"],
+                    coords=out["coords"],
+                )
+
+            tiled = jax.lax.map(
+                tile_fn, (keys, rays_p.reshape(num_tiles, tile, 2, 3))
+            )
+            return {
+                k: v.reshape((num_tiles * tile,) + v.shape[2:])[:m]
+                for k, v in tiled.items()
+            }
+
+        render = jax.jit(frame)
+    else:
+        renderer = Renderer(
+            coarse=coarse,
+            fine=fine,
+            coarse_ts=args.coarse_samples,
+            fine_ts=args.fine_samples,
+            **bbox,
+        )
+        render = jax.jit(
+            lambda key, rays: render_frame(
+                renderer,
+                key,
+                rays,
+                params["coarse"],
+                params["fine"],
+                background,
+                tile_size=args.batch_size,
+                include_depth_outputs=True,
+            )
+        )
 
     key = seeded_key(args.seed)
     os.makedirs(args.output_dir)

@@ -1,6 +1,8 @@
 """Occupancy-grid fast path tests: compaction, grid updates, renderer,
 training loop, and end-to-end learning via the CLI flags."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -236,3 +238,33 @@ def test_occupancy_cli_end_to_end(tmp_path):
 
     img = np.asarray(Image.open(out_png))
     assert img.shape == (16, 16, 3)
+
+
+def test_render_new_dataset_occupancy(tmp_path):
+    from learn_nerf_tpu.scripts import render_new_dataset, train_nerf
+
+    from .synthetic_scene import write_dataset
+
+    scene = write_dataset(str(tmp_path / "scene"), num_views=4, resolution=12)
+    save_path = str(tmp_path / "occ.pkl")
+    train_nerf.main(
+        [
+            "--seed", "0", "--batch_size", "128", "--steps", "3",
+            "--occupancy", "--occ_candidates", "16", "--occ_samples", "4",
+            "--occ_grid", "8", "--save_path", save_path, scene,
+        ]
+    )
+    out_dir = str(tmp_path / "distilled")
+    render_new_dataset.main(
+        [
+            "--seed", "0", "--num_images", "2", "--size", "8",
+            "--batch_size", "64", "--occupancy", "--occ_candidates", "16",
+            "--occ_samples", "4", "--model_path", save_path,
+            os.path.join(scene, "metadata.json"), out_dir,
+        ]
+    )
+    names = sorted(os.listdir(out_dir))
+    assert names == [
+        "00000.json", "00000.png", "00000_depth.png",
+        "00001.json", "00001.png", "00001_depth.png", "metadata.json",
+    ]
