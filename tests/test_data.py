@@ -118,3 +118,33 @@ def test_rays_are_normalized():
     np.testing.assert_allclose(
         np.linalg.norm(rays[:, 1], axis=-1), 1.0, rtol=1e-5
     )
+
+
+def test_multihost_shuffle_disjoint():
+    """Per-process shards cover disjoint view subsets exactly once."""
+    from learn_nerf_tpu.data.shuffle import ShuffledDataset
+
+    views = make_views(5)
+    data = NeRFDataset(
+        metadata=ModelMetadata(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1)),
+        views=views,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = {}
+        for pid in range(2):
+            with ShuffledDataset(
+                tmp, data, seed=0, num_shards=4, process_id=pid, process_count=2
+            ) as sd:
+                rows[pid] = np.concatenate(list(sd.iterate_batches(16)))
+        total = sum(v.shape[0] * v.shape[1] for v in views)
+        assert rows[0].shape[0] + rows[1].shape[0] == total
+        # Host 0 gets views 0, 2, 4; host 1 gets views 1, 3.
+        for pid, expect_views in ((0, [0, 2, 4]), (1, [1, 3])):
+            origins = {tuple(np.round(r, 4)) for r in rows[pid][:, 0]}
+            expected = {
+                tuple(np.round(np.asarray(views[i].camera_origin, np.float32), 4))
+                for i in expect_views
+            }
+            assert origins == expected

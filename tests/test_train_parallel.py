@@ -212,3 +212,54 @@ def test_occupancy_density_penalty_logged():
     vals = loop.step(jax.random.PRNGKey(1), make_batch(32))
     assert "fine_density" in vals
     assert np.isfinite(float(vals["fine_density"]))
+
+
+def test_refnerf_train_step_and_aux_losses():
+    import jax
+
+    from learn_nerf_tpu.models import RefNeRFModel
+    from learn_nerf_tpu.train import TrainLoop
+
+    model = RefNeRFModel(
+        sh_degree=2, hidden_dim=32, color_layer_dim=16, input_layers=1, mid_layers=1
+    )
+    loop = TrainLoop(
+        model, model, init_rng=jax.random.PRNGKey(0), lr=1e-3,
+        coarse_ts=4, fine_ts=4, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+    )
+    vals = loop.step(jax.random.PRNGKey(1), make_batch(32))
+    for key in ("coarse_normal_mse", "fine_normal_mse", "coarse_neg_normal",
+                "fine_neg_normal"):
+        assert key in vals and np.isfinite(float(vals[key]))
+
+
+def test_create_model_wiring():
+    import argparse
+
+    from learn_nerf_tpu.data.dataset import ModelMetadata
+    from learn_nerf_tpu.models import (
+        InstantNGPModel,
+        InstantNGPRefNeRFModel,
+        NeRFModel,
+        RefNeRFModel,
+    )
+    from learn_nerf_tpu.scripts.common import create_model
+
+    meta = ModelMetadata(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1))
+
+    def args(**kw):
+        ns = argparse.Namespace(instant_ngp=False, ref_nerf=False, bf16=False)
+        ns.__dict__.update(kw)
+        return ns
+
+    assert isinstance(create_model(args(), meta)[0], NeRFModel)
+    assert isinstance(create_model(args(ref_nerf=True), meta)[0], RefNeRFModel)
+    coarse, fine, kwargs = create_model(args(instant_ngp=True), meta)
+    assert isinstance(coarse, InstantNGPModel)
+    assert len(coarse.table_sizes) == 6 and len(fine.table_sizes) == 16
+    assert kwargs == dict(adam_eps=1e-15, adam_b1=0.9, adam_b2=0.99)
+    hybrid = create_model(args(instant_ngp=True, ref_nerf=True), meta)[0]
+    assert isinstance(hybrid, InstantNGPRefNeRFModel)
+    assert hybrid.sh_degree == 4
+    bf = create_model(args(bf16=True), meta)[0]
+    assert bf.compute_dtype == "bfloat16"
