@@ -31,9 +31,58 @@ def save_params_pickle(path: str, params: Any) -> None:
     _atomic_write(path, pickle.dumps(host_params))
 
 
+def import_reference_params(params: Any) -> Any:
+    """Convert a param tree saved by the *reference* implementation.
+
+    Vanilla NeRF and Ref-NeRF trees transfer unchanged (both codebases
+    create the Dense layers in the same order, so flax names match — the
+    golden renderer-parity test proves byte compatibility).  Instant-NGP
+    trees need renaming: the reference nests per-level tables as
+    ``MultiresHashTableEncoding_i/HashTableEncoding_j/table``
+    (``learn_nerf/instant_ngp.py:92-208``) where this framework owns them
+    as ``HashGridEncoding_i/table_j``.
+    """
+
+    def fix_model(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for key, value in tree.items():
+            if key.startswith("MultiresHashTableEncoding_"):
+                idx = key.rsplit("_", 1)[1]
+                tables = {
+                    f"table_{k.rsplit('_', 1)[1]}": v["table"]
+                    for k, v in value.items()
+                }
+                out[f"HashGridEncoding_{idx}"] = tables
+            else:
+                out[key] = fix_model(value)
+        return out
+
+    return {
+        k: fix_model(v) if isinstance(v, dict) else v for k, v in params.items()
+    }
+
+
+def _is_reference_tree(params: Any) -> bool:
+    def has_marker(tree):
+        if not isinstance(tree, dict):
+            return False
+        return any(
+            k.startswith("MultiresHashTableEncoding_") or has_marker(v)
+            for k, v in tree.items()
+        )
+
+    return has_marker(params)
+
+
 def load_params_pickle(path: str) -> Any:
+    """Load a params pickle; reference-format NGP trees convert on the fly."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        params = pickle.load(f)
+    if _is_reference_tree(params):
+        params = import_reference_params(params)
+    return params
 
 
 def save_train_state(path: str, state: Any) -> None:

@@ -214,6 +214,41 @@ def main():
         fine_coords=out["fine"]["coords"],
     )
 
+    # --- reference NGP checkpoint (cross-load test) ------------------------
+    ngp = ref_ngp.InstantNGPModel(
+        table_sizes=[2**12] * 3,
+        grid_sizes=[4, 8, 64],
+        bbox_min=jnp.asarray(bbox_min),
+        bbox_max=jnp.asarray(bbox_max),
+    )
+    xq = jnp.asarray(rng.rand(37, 3).astype(np.float32) * 1.5 - 0.7)
+    dq = jnp.asarray(rng.randn(37, 3).astype(np.float32))
+    dq = dq / jnp.linalg.norm(dq, axis=-1, keepdims=True)
+    ngp_params = ngp.init(dict(params=jax.random.PRNGKey(5)), xq, dq)["params"]
+    dens, rgb, _ = ngp.apply(dict(params=ngp_params), xq, dq)
+    import pickle as _pickle
+
+    with open(os.path.join(GOLDEN_DIR, "ngp_reference_checkpoint.pkl"), "wb") as f:
+        _pickle.dump(
+            jax.device_get(
+                {
+                    "coarse": ngp_params,
+                    "fine": ngp_params,
+                    "background": np.array([-1.0, -1.0, -1.0], np.float32),
+                }
+            ),
+            f,
+        )
+    save(
+        "ngp_reference_outputs",
+        x=xq,
+        d=dq,
+        bbox_min=bbox_min,
+        bbox_max=bbox_max,
+        density=dens,
+        rgb=rgb,
+    )
+
     # --- camera rays --------------------------------------------------------
     view = RefCameraView(
         camera_direction=(0.3, -0.5, 0.81),

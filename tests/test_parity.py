@@ -243,3 +243,28 @@ def test_camera_rays():
     )
     rays = view.bare_rays(17, 13)
     np.testing.assert_allclose(rays, g["rays"], rtol=1e-5, atol=1e-6)
+
+
+def test_reference_ngp_checkpoint_cross_load():
+    """A pickle saved by the reference loads and reproduces its outputs."""
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.checkpoint import load_params_pickle
+    from learn_nerf_tpu.models import InstantNGPModel
+
+    g = load("ngp_reference_outputs")
+    params = load_params_pickle(
+        os.path.join(GOLDEN, "ngp_reference_checkpoint.pkl")
+    )
+    assert "HashGridEncoding_0" in params["fine"]
+    model = InstantNGPModel(
+        table_sizes=[2**12] * 3,
+        grid_sizes=[4, 8, 64],
+        bbox_min=tuple(g["bbox_min"].tolist()),
+        bbox_max=tuple(g["bbox_max"].tolist()),
+    )
+    density, rgb, _ = model.apply(
+        dict(params=params["fine"]), jnp.asarray(g["x"]), jnp.asarray(g["d"])
+    )
+    np.testing.assert_allclose(np.asarray(density), g["density"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb), g["rgb"], rtol=1e-5, atol=1e-6)
