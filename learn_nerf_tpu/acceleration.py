@@ -18,7 +18,7 @@ Everything is jit-friendly: no dynamic shapes, no host round-trips.
 """
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.struct
 import jax
