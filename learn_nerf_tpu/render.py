@@ -193,3 +193,55 @@ def render_frame(
 
     tiled = jax.lax.map(tile_fn, (keys, rays_t))
     return {k: v.reshape((padded,) + v.shape[2:])[:m] for k, v in tiled.items()}
+
+
+def render_frame_sharded(
+    renderer: Renderer,
+    key: jax.Array,
+    rays: Array,
+    coarse_params: Any,
+    fine_params: Any,
+    background: Array,
+    mesh,
+    tile_size: int = 4096,
+) -> Array:
+    """Render a frame with its ray tiles sharded across the device mesh.
+
+    ``render_frame`` scans tiles on one device; this variant distributes
+    them over the ``data`` axis with ``shard_map`` — each device scans its
+    own tile subset with fully replicated params, so a v5e-8 renders ~8x
+    faster with zero collectives in the hot path (outputs gather once at
+    the end).
+
+    :param rays: ``[M, 2, 3]`` rays in raster order.
+    :return: ``[M, 3]`` colors.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS]
+    m = rays.shape[0]
+    per_chunk = n_dev * tile_size
+    num_tiles = -(-m // per_chunk) * n_dev
+    padded = num_tiles * tile_size
+    rays_p = jnp.pad(rays, ((0, padded - m), (0, 0), (0, 0)))
+    rays_t = rays_p.reshape(num_tiles, tile_size, 2, 3)
+    keys = jax.random.split(key, num_tiles)
+
+    def shard_fn(keys, rays_t, cp, fp, bg):
+        def tile_fn(args):
+            k, r = args
+            out = renderer.render_rays(k, r, cp, fp, bg)
+            return out["fine"]["outputs"]
+
+        return jax.lax.map(tile_fn, (keys, rays_t))
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+        out_specs=P(DATA_AXIS),
+    )
+    out = fn(keys, rays_t, coarse_params, fine_params, background)
+    return out.reshape(padded, 3)[:m]

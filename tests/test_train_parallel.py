@@ -263,3 +263,41 @@ def test_create_model_wiring():
     assert hybrid.sh_degree == 4
     bf = create_model(args(bf16=True), meta)[0]
     assert bf.compute_dtype == "bfloat16"
+
+
+def test_render_frame_sharded_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.parallel.mesh import default_mesh
+    from learn_nerf_tpu.render import Renderer, render_frame, render_frame_sharded
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1)
+    params = model.init(
+        dict(params=jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    renderer = Renderer(
+        coarse=model, fine=model, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        coarse_ts=4, fine_ts=4,
+    )
+    rays = jnp.asarray(make_batch(200)[:, :2])
+    bg = jnp.zeros(3)
+    mesh = default_mesh()
+
+    sharded = render_frame_sharded(
+        renderer, jax.random.PRNGKey(3), rays, params, params, bg, mesh,
+        tile_size=16,
+    )
+    assert sharded.shape == (200, 3)
+    assert np.all(np.isfinite(np.asarray(sharded)))
+
+    # Per-ray results must match the per-tile semantics of the unsharded
+    # path when the tiling (and so the RNG key per tile) lines up.
+    single = render_frame(
+        renderer, jax.random.PRNGKey(3), rays, params, params, bg, tile_size=16
+    )["outputs"]
+    # Same tile decomposition and same per-tile keys => identical output.
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=1e-4, atol=1e-5
+    )
