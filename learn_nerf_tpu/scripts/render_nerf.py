@@ -21,7 +21,8 @@ from ..render import Renderer, render_frame
 from .common import add_model_args, add_occupancy_args, create_model, seeded_key
 
 
-def argparser() -> argparse.ArgumentParser:
+def base_argparser() -> argparse.ArgumentParser:
+    """Render flags shared by all render-family CLIs (no positionals)."""
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument(
@@ -41,6 +42,11 @@ def argparser() -> argparse.ArgumentParser:
     parser.add_argument("--model_path", type=str, default="nerf.pkl")
     add_model_args(parser)
     add_occupancy_args(parser)
+    return parser
+
+
+def argparser() -> argparse.ArgumentParser:
+    parser = base_argparser()
     parser.add_argument("metadata_json", type=str)
     return parser
 

@@ -64,3 +64,34 @@ def test_train_then_render(tiny_dataset, tmp_path):
             tiny_dataset,
         ]
     )
+
+
+def test_eval_psnr_cli(tiny_dataset, tmp_path, capsys):
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.scripts import eval_psnr
+    from learn_nerf_tpu.train import TrainLoop
+
+    model = NeRFModel()
+    loop = TrainLoop(
+        model, model, init_rng=jax.random.PRNGKey(0), lr=1e-3,
+        coarse_ts=4, fine_ts=4, bbox_min=(-0.7,) * 3, bbox_max=(0.7,) * 3,
+    )
+    pkl = str(tmp_path / "nerf.pkl")
+    loop.save(pkl)
+
+    eval_psnr.main(
+        [
+            "--seed", "0",
+            "--batch_size", "64",
+            "--coarse_samples", "4",
+            "--fine_samples", "4",
+            "--max_views", "2",
+            "--model_path", pkl,
+            tiny_dataset,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "view 0: psnr=" in out
+    assert "mean_psnr=" in out
