@@ -118,6 +118,48 @@ class OccupancyGrid:
         return OccupancyGridState(densities=densities, step=state.step + 1)
 
 
+def compact_occupied_strided(
+    ts: Array,
+    occupied: Array,
+    count: int,
+) -> Tuple[Array, Array, Array]:
+    """Select ``count`` occupied candidates per ray, evenly strided.
+
+    :func:`compact_occupied_samples` keeps the *first* K occupied
+    candidates, which truncates coverage on rays with more than K occupied
+    cells: everything behind the K-th occupied cell is never sampled.
+    During training that is a failure loop — low-density "fog" cells in
+    front soak up all K samples, the real surface behind them never gets
+    gradient, so the fog never clears.  Here rays with ``c > count``
+    occupied candidates instead keep every ``c/count``-th one, covering the
+    whole occupied span; each kept sample then represents ``c/count``
+    candidate bins, returned as a per-ray delta scale for compositing.
+    Rays with ``c <= count`` keep all occupied candidates exactly
+    (identical to :func:`compact_occupied_samples`).
+
+    :param ts: ``[N, C]`` sorted candidate positions.
+    :param occupied: ``[N, C]`` bool.
+    :param count: K survivors per ray (static).
+    :return: ``(sel_ts [N, K], sel_mask [N, K], delta_scale [N, 1])`` —
+             valid entries are t-sorted and lead each row.
+    """
+    n, _ = ts.shape
+    cum = jnp.cumsum(occupied.astype(jnp.int32), axis=1)  # [N, C]
+    c = cum[:, -1:]  # [N, 1] occupied count
+    k = jnp.arange(count, dtype=jnp.int32)[None, :]  # [1, K]
+    # Rank of the candidate each slot should take: k when c <= K (first-K
+    # semantics), floor(k*c/K) when c > K (even stride over the span).
+    ranks = k * jnp.maximum(c, count) // count  # [N, K]
+    sel_mask = ranks < c
+    # Index of the (rank+1)-th occupied candidate: first position where the
+    # running count exceeds the rank.  cum is row-wise non-decreasing.
+    idx = jax.vmap(jnp.searchsorted)(cum, jnp.minimum(ranks + 1, c))
+    idx = jnp.minimum(idx, ts.shape[1] - 1)
+    sel_ts = jnp.take_along_axis(ts, idx, axis=1)
+    delta_scale = jnp.maximum(c.astype(ts.dtype) / count, 1.0)
+    return sel_ts, sel_mask, delta_scale
+
+
 def compact_occupied_samples(
     ts: Array,
     occupied: Array,

@@ -19,12 +19,12 @@ once the grid converges because skipped cells genuinely have ~zero density
 """
 
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .acceleration import OccupancyGrid, OccupancyGridState, compact_occupied_samples
+from .acceleration import OccupancyGrid, OccupancyGridState, compact_occupied_strided
 from .models.base import FieldModel
 from .ops.geometry import ray_bbox_range
 from .ops.sampling import stratified_ts
@@ -70,15 +70,18 @@ class OccupancyRenderer:
         cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
         occ = self.grid.occupied(grid_state, cand_pts)
 
-        sel_ts, sel_mask = compact_occupied_samples(cand_ts, occ, self.samples)
+        sel_ts, sel_mask, delta_scale = compact_occupied_strided(
+            cand_ts, occ, self.samples
+        )
 
         points = origins[:, None, :] + dirs[:, None, :] * sel_ts[..., None]
         dirs_b = jnp.broadcast_to(dirs[:, None, :], points.shape)
         density, rgbs, aux = self.model.apply(dict(params=params), points, dirs_b)
         densities = density[..., 0] * sel_mask  # padding slots contribute 0
 
-        # Every survivor represents one candidate bin of uniform width.
-        dt = ((t_max - t_min) / self.candidates)[:, None]
+        # Every survivor represents delta_scale candidate bins (1 when the
+        # ray has <= K occupied candidates, c/K on strided rays).
+        dt = ((t_max - t_min) / self.candidates)[:, None] * delta_scale
         deltas = jnp.broadcast_to(dt, densities.shape)
         weights = termination_weights(densities, deltas)
 
@@ -100,3 +103,222 @@ class OccupancyRenderer:
             ),
             aux_means,
         )
+
+    def render_rays_pooled(
+        self,
+        key: jax.Array,
+        rays: Array,
+        params: Any,
+        background: Array,
+        grid_state: OccupancyGridState,
+        budget: int,
+        transmittance_eps: float = 0.0,
+    ) -> Dict[str, Array]:
+        """Inference fast path: pooled compaction + approximate early
+        ray termination.
+
+        :func:`render_rays` evaluates a fixed ``[N, K]`` block, so rays
+        with few occupied candidates still pay K model evaluations
+        (padding slots do real hash gathers).  At inference the model
+        cost is the whole frame time, so this path instead:
+
+        1. prunes candidates whose *approximate* transmittance — an
+           exclusive scan of the occupancy grid's own EMA densities,
+           already gathered for the occupancy test — falls below
+           ``transmittance_eps`` (early ray termination at zero model
+           cost; set 0 to disable),
+        2. caps survivors per ray at K (identical selection to
+           :func:`render_rays`), then compacts the whole batch's
+           survivors into one ``[budget]`` pool (cumsum slot assignment
+           + scatter) so the field model runs on the tile's *actual*
+           survivor count, not the ``N * K`` worst case.  Size the
+           budget from measured average occupancy; on overflow dense
+           rays lose tail samples past the budget, bounded by the
+           per-ray cap,
+        3. composites exactly per ray with segmented scans
+           (``segment_sum`` over the ray-major pool).
+
+        :param rays: ``[N, 2, 3]`` (origin, direction).
+        :param budget: static total pooled samples for the whole batch.
+        :return: dict with ``outputs [N,3]``, ``alphas [N,1]``,
+                 ``coords [N,3]``.
+        """
+        bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
+        bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
+        origins, dirs = rays[:, 0], rays[:, 1]
+        n = origins.shape[0]
+        t_min, t_max, mask = ray_bbox_range(
+            origins, dirs, bbox_min, bbox_max, self.min_t_range
+        )
+
+        cand_ts = stratified_ts(key, t_min, t_max, self.candidates)  # [N, C]
+        cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
+        cell_idx = self.grid.cell_indices(cand_pts)
+        d_grid = jax.lax.stop_gradient(grid_state.densities)[cell_idx]  # [N, C]
+        occ = d_grid > self.grid.threshold
+        dt = (t_max - t_min)[:, None] / self.candidates  # [N, 1]
+
+        if transmittance_eps > 0.0:
+            # The grid holds an EMA-max of true densities per cell, so the
+            # scanned opacity is an estimate; a small eps only prunes
+            # candidates behind essentially opaque matter.
+            approx = jnp.where(occ, d_grid, 0.0) * dt
+            acc_prev = jnp.cumsum(approx, axis=1) - approx
+            occ = occ & (jnp.exp(-acc_prev) > transmittance_eps)
+        occ = occ & mask[:, None]
+
+        # Per-ray cap first (same strided-K semantics as render_rays): if
+        # the pool then overflows, dense rays lose tail samples past K — the
+        # same truncation the fixed-K path applies — instead of late rays
+        # losing everything.
+        sel_ts, sel_mask, delta_scale = compact_occupied_strided(
+            cand_ts, occ, self.samples
+        )
+
+        # Global slot assignment: ray-major order keeps each ray's samples
+        # contiguous and t-sorted inside the pool.
+        flat_occ = sel_mask.reshape(-1)  # [N*K]
+        slots = jnp.cumsum(flat_occ) - 1
+        slots = jnp.where(flat_occ, slots, budget).astype(jnp.int32)
+
+        def pool(values, fill):
+            init = jnp.full((budget,) + values.shape[1:], fill, values.dtype)
+            return init.at[slots].set(values, mode="drop")
+
+        flat_ts = sel_ts.reshape(-1)
+        flat_ray = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], sel_mask.shape
+        ).reshape(-1)
+        pool_t = pool(flat_ts, 0.0)
+        # Invalid (never-written) slots form the pool's tail; give them
+        # segment id n so segment ids stay sorted.
+        pool_ray = pool(flat_ray, n)
+        pool_valid = pool(jnp.ones_like(flat_occ), False)
+
+        safe_ray = jnp.minimum(pool_ray, n - 1)
+        origins_p = origins[safe_ray]
+        dirs_p = dirs[safe_ray]
+        points = origins_p + dirs_p * pool_t[:, None]
+        density, rgbs, _ = self.model.apply(dict(params=params), points, dirs_p)
+        dt_scaled = dt * delta_scale  # [N, 1]
+        sig_dt = density[..., 0] * pool_valid * dt_scaled[safe_ray, 0]
+
+        # Segmented exclusive scan: global cumsum minus each ray's base.
+        acc_excl = jnp.cumsum(sig_dt) - sig_dt
+        ray_total = jax.ops.segment_sum(
+            sig_dt, pool_ray, num_segments=n + 1, indices_are_sorted=True
+        )[:n]
+        ray_base = jnp.cumsum(ray_total) - ray_total
+        survive = jnp.exp(-(acc_excl - ray_base[safe_ray]))
+        weights = survive * (1.0 - jnp.exp(-sig_dt)) * pool_valid  # [budget]
+
+        def ray_sum(values):
+            return jax.ops.segment_sum(
+                weights[:, None] * values,
+                pool_ray,
+                num_segments=n + 1,
+                indices_are_sorted=True,
+            )[:n]
+
+        bg_weight = jnp.exp(-ray_total)[:, None]
+        outputs = ray_sum(rgbs) + bg_weight * background[None, :]
+        outputs = jnp.where(mask[:, None], outputs, background[None, :])
+        alphas = jnp.where(mask[:, None], 1.0 - bg_weight, 0.0)
+        coords = jnp.where(mask[:, None], ray_sum(points), 0.0)
+        return dict(outputs=outputs, alphas=alphas, coords=coords)
+
+
+def render_frame_occupancy(
+    renderer: OccupancyRenderer,
+    key: jax.Array,
+    rays: Array,
+    params: Any,
+    background: Array,
+    grid_state: OccupancyGridState,
+    tile_size: int = 8192,
+    budget_per_ray: Optional[float] = None,
+    transmittance_eps: float = 1e-3,
+    include_depth_outputs: bool = False,
+    mesh=None,
+) -> Dict[str, Array]:
+    """Render a whole frame through the occupancy fast path.
+
+    One device program: rays are padded to tiles and scanned with
+    ``lax.map``.  With ``budget_per_ray`` set, each tile uses
+    :meth:`OccupancyRenderer.render_rays_pooled` with a pool of
+    ``tile_size * budget_per_ray`` samples; otherwise the fixed-K
+    :meth:`OccupancyRenderer.render_rays`.  With ``mesh``, tiles shard
+    over the ``data`` axis via ``shard_map`` (replicated params, no
+    collectives in the hot path).
+
+    :param rays: ``[M, 2, 3]`` rays in raster order.
+    :return: dict with ``outputs [M,3]`` (+ ``alphas``/``coords``).
+    """
+    n_dev = 1
+    if mesh is not None:
+        from .parallel.mesh import DATA_AXIS
+
+        n_dev = mesh.shape[DATA_AXIS]
+    m = rays.shape[0]
+    per_chunk = n_dev * tile_size
+    num_tiles = -(-m // per_chunk) * n_dev
+    padded = num_tiles * tile_size
+    rays_p = jnp.pad(rays, ((0, padded - m), (0, 0), (0, 0)))
+    pooled = budget_per_ray is not None
+    if pooled:
+        # Interleave rays across tiles (tile g takes rays g, g+G, g+2G, ...)
+        # so each tile sees the frame's global mix of empty and dense rays:
+        # per-tile sample demand concentrates at the frame mean and a
+        # budget of mean + margin drops (almost) nothing.  Raster-order
+        # tiles are spatially coherent and can demand 2-3x the mean.
+        rays_t = rays_p.reshape(tile_size, num_tiles, 2, 3).transpose(1, 0, 2, 3)
+    else:
+        rays_t = rays_p.reshape(num_tiles, tile_size, 2, 3)
+    keys = jax.random.split(key, num_tiles)
+
+    def tile_fn(params, background, grid_state, args):
+        k, r = args
+        if budget_per_ray is not None:
+            out = renderer.render_rays_pooled(
+                k,
+                r,
+                params,
+                background,
+                grid_state,
+                budget=int(tile_size * budget_per_ray),
+                transmittance_eps=transmittance_eps,
+            )
+        else:
+            out, _ = renderer.render_rays(k, r, params, background, grid_state)
+        res = dict(outputs=out["outputs"])
+        if include_depth_outputs:
+            res.update(alphas=out["alphas"], coords=out["coords"])
+        return res
+
+    def scan_tiles(keys, rays_t, params, background, grid_state):
+        return jax.lax.map(
+            lambda args: tile_fn(params, background, grid_state, args),
+            (keys, rays_t),
+        )
+
+    if mesh is None:
+        tiled = scan_tiles(keys, rays_t, params, background, grid_state)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.mesh import DATA_AXIS
+
+        fn = jax.shard_map(
+            scan_tiles,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+            out_specs=P(DATA_AXIS),
+        )
+        tiled = fn(keys, rays_t, params, background, grid_state)
+
+    def deinterleave(v):
+        if pooled:  # undo the tile interleave: [G, S, ...] -> raster order
+            v = v.transpose(1, 0, *range(2, v.ndim))
+        return v.reshape((padded,) + v.shape[2:])[:m]
+
+    return {k: deinterleave(v) for k, v in tiled.items()}

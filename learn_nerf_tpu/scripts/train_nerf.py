@@ -182,6 +182,7 @@ def main(argv=None):
             if args.steps is not None and i + 1 >= args.steps:
                 break
     finally:
+        logger.flush()
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
 

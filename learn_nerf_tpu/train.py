@@ -199,8 +199,18 @@ class TrainLoop:
         return step
 
     def shard_batch(self, batch) -> jax.Array:
-        """Place a host batch onto the mesh, sharded over rays."""
-        return jax.device_put(batch, self._batch_sharding)
+        """Place a host batch onto the mesh, sharded over rays.
+
+        Single-process: a plain ``device_put``.  Multi-process: the batch is
+        this host's local slice; every host contributes its rows via
+        ``make_array_from_process_local_data`` (no host sees the global
+        batch).  Already-assembled ``jax.Array``s pass through.
+        """
+        if isinstance(batch, jax.Array):
+            return batch
+        from .parallel.mesh import global_batch_from_local
+
+        return global_batch_from_local(self.mesh, np.asarray(batch))
 
     def step(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
         """One in-place training step; returns the (lazy) logging dict."""
@@ -357,6 +367,7 @@ class OccupancyTrainLoop:
             self.grid.init(), replicated_sharding(self.mesh)
         )
         self._batch_sharding = batch_sharding(self.mesh)
+        self._host_step = 0
 
         loss_fn = partial(
             compute_losses_occupancy,
@@ -388,15 +399,19 @@ class OccupancyTrainLoop:
 
         self._update_grid_fn = update_grid
 
+    shard_batch = TrainLoop.shard_batch
+
     def step(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
         step_key, grid_key = jax.random.split(key)
-        if int(self.state.step) % self.update_interval == 0:
+        # Host-side step counter: reading self.state.step would force a
+        # device->host sync every step (expensive on remote TPU runtimes).
+        if self._host_step % self.update_interval == 0:
             self.grid_state = self._update_grid_fn(
                 self.grid_state, self.state.params, grid_key, self.update_cells
             )
-        batch = jax.device_put(batch, self._batch_sharding)
+        self._host_step += 1
         self.state, values = self._step_fn(
-            self.state, step_key, batch, self.grid_state
+            self.state, step_key, self.shard_batch(batch), self.grid_state
         )
         return values
 
@@ -408,8 +423,9 @@ class OccupancyTrainLoop:
                     params, key=key, batch=batch, grid_state=gs
                 )[1]
             )
-        batch = jax.device_put(batch, self._batch_sharding)
-        return self._eval_fn(self.state.params, key, batch, self.grid_state)
+        return self._eval_fn(
+            self.state.params, key, self.shard_batch(batch), self.grid_state
+        )
 
     def save(self, path: str) -> None:
         """Checkpoint: params plus the occupancy grid densities."""
