@@ -249,6 +249,83 @@ def main():
         rgb=rgb,
     )
 
+    # --- reference Ref-NeRF end-to-end (cross-load + VJP-normal parity) ----
+    refn = ref_refnerf.RefNERFModel(
+        sh_degree=4,
+        input_layers=2,
+        mid_layers=2,
+        hidden_dim=32,
+        color_layer_dim=16,
+    )
+    xr = jnp.asarray(rng.rand(29, 3).astype(np.float32) * 1.6 - 0.8)
+    dr = jnp.asarray(rng.randn(29, 3).astype(np.float32))
+    dr = dr / jnp.linalg.norm(dr, axis=-1, keepdims=True)
+    refn_params = refn.init(dict(params=jax.random.PRNGKey(13)), xr, dr)["params"]
+    dens_r, rgb_r, aux_r = refn.apply(dict(params=refn_params), xr, dr)
+    import pickle as _pkl
+
+    with open(os.path.join(GOLDEN_DIR, "refnerf_reference_checkpoint.pkl"), "wb") as f:
+        _pkl.dump(
+            jax.device_get(
+                {
+                    "coarse": refn_params,
+                    "fine": refn_params,
+                    "background": np.array([-1.0, -1.0, -1.0], np.float32),
+                }
+            ),
+            f,
+        )
+    save(
+        "refnerf_reference_outputs",
+        x=xr,
+        d=dr,
+        density=dens_r,
+        rgb=rgb_r,
+        normal_mse=aux_r["normal_mse"],
+        neg_normal=aux_r["neg_normal"],
+    )
+
+    # --- reference NGP x Ref-NeRF hybrid (smooth hash grids + IDE) ---------
+    ngp_ref = ref_ngp.InstantNGPRefNERFModel(
+        sh_degree=4,
+        table_sizes=[2**10] * 3,
+        grid_sizes=[4, 8, 32],
+        bbox_min=jnp.asarray(bbox_min),
+        bbox_max=jnp.asarray(bbox_max),
+        hidden_dim=32,
+    )
+    xh = jnp.asarray(rng.rand(23, 3).astype(np.float32) * 1.4 - 0.6)
+    dh = jnp.asarray(rng.randn(23, 3).astype(np.float32))
+    dh = dh / jnp.linalg.norm(dh, axis=-1, keepdims=True)
+    ngp_ref_params = ngp_ref.init(dict(params=jax.random.PRNGKey(17)), xh, dh)[
+        "params"
+    ]
+    dens_h, rgb_h, aux_h = ngp_ref.apply(dict(params=ngp_ref_params), xh, dh)
+    with open(
+        os.path.join(GOLDEN_DIR, "ngp_refnerf_reference_checkpoint.pkl"), "wb"
+    ) as f:
+        _pkl.dump(
+            jax.device_get(
+                {
+                    "coarse": ngp_ref_params,
+                    "fine": ngp_ref_params,
+                    "background": np.array([-1.0, -1.0, -1.0], np.float32),
+                }
+            ),
+            f,
+        )
+    save(
+        "ngp_refnerf_reference_outputs",
+        x=xh,
+        d=dh,
+        bbox_min=bbox_min,
+        bbox_max=bbox_max,
+        density=dens_h,
+        rgb=rgb_h,
+        normal_mse=aux_h["normal_mse"],
+        neg_normal=aux_h["neg_normal"],
+    )
+
     # --- camera rays --------------------------------------------------------
     view = RefCameraView(
         camera_direction=(0.3, -0.5, 0.81),

@@ -202,3 +202,26 @@ def test_point_cloud_roundtrip(binaries, tmp_path):
     with zipfile.ZipFile(out_zip) as zf:
         assert sorted(zf.namelist()) == ["material.mtl", "model.obj"]
         assert b"usemtl" in zf.read("model.obj")
+
+
+def test_simple_dataset_specular(binaries, cube_stl, tmp_path):
+    """-specular adds view-dependent highlights: images differ from the
+    Lambertian render of the same views, and only ever get brighter."""
+    flat, shiny = str(tmp_path / "flat"), str(tmp_path / "shiny")
+    base = [
+        os.path.join(binaries, "simple_dataset"),
+        "-resolution", "48", "-images", "2", "-seed", "7",
+    ]
+    subprocess.run(base + [cube_stl, flat], check=True, capture_output=True)
+    subprocess.run(
+        base + ["-specular", "0.8", "-shininess", "16", cube_stl, shiny],
+        check=True,
+        capture_output=True,
+    )
+    from PIL import Image
+
+    for i in range(2):
+        a = np.asarray(Image.open(os.path.join(flat, f"{i:04}.png"))).astype(int)
+        b = np.asarray(Image.open(os.path.join(shiny, f"{i:04}.png"))).astype(int)
+        assert (b >= a - 1).all()  # specular only adds light (u8 rounding)
+        assert (b - a).max() > 20  # and visibly does somewhere

@@ -268,3 +268,207 @@ def test_render_new_dataset_occupancy(tmp_path):
         "00000.json", "00000.png", "00000_depth.png",
         "00001.json", "00001.png", "00001_depth.png", "metadata.json",
     ]
+
+
+def _small_model_and_params(seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.models import NeRFModel
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1)
+    params = model.init(
+        dict(params=jax.random.PRNGKey(seed)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    return model, params
+
+
+def _random_rays(n, seed=0, spread=3.0):
+    rng = np.random.RandomState(seed)
+    origins = rng.randn(n, 3).astype(np.float32) * spread
+    dirs = rng.randn(n, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return np.stack([origins, dirs], axis=1)
+
+
+def test_pooled_render_matches_fixed_k():
+    """With ample budget, no termination eps, and K = C (per-ray cap never
+    binds), the pooled path must reproduce render_rays exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    model, params = _small_model_and_params()
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    # Random sparse occupancy so compaction is non-trivial.
+    rng = np.random.RandomState(3)
+    densities = jnp.asarray(
+        (rng.rand(8**3) < 0.4).astype(np.float32)
+    )  # 1.0 > threshold in ~40% of cells
+    grid_state = grid.init().replace(densities=densities)
+
+    c = 24
+    renderer = OccupancyRenderer(
+        model=model,
+        grid=grid,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=c,
+        samples=c,  # K = C
+    )
+    rays = jnp.asarray(_random_rays(48, seed=5))
+    background = jnp.asarray([0.3, -0.2, 0.8])
+    key = jax.random.PRNGKey(7)
+
+    ref_out, _ = renderer.render_rays(key, rays, params, background, grid_state)
+    pooled = renderer.render_rays_pooled(
+        key, rays, params, background, grid_state,
+        budget=48 * c, transmittance_eps=0.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled["outputs"]), np.asarray(ref_out["outputs"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled["alphas"]), np.asarray(ref_out["alphas"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled["coords"]), np.asarray(ref_out["coords"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_pooled_render_early_termination_and_budget():
+    """Early termination barely changes an opaque scene; a tight budget
+    degrades gracefully (finite outputs, misses still equal background)."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    model, params = _small_model_and_params(seed=2)
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    grid_state = grid.init()  # fully occupied
+
+    renderer = OccupancyRenderer(
+        model=model,
+        grid=grid,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=32,
+        samples=32,
+    )
+    rays = jnp.asarray(_random_rays(32, seed=11))
+    background = jnp.asarray([0.5, 0.5, 0.5])
+    key = jax.random.PRNGKey(3)
+
+    full = renderer.render_rays_pooled(
+        key, rays, params, background, grid_state,
+        budget=32 * 32, transmittance_eps=0.0,
+    )
+    pruned = renderer.render_rays_pooled(
+        key, rays, params, background, grid_state,
+        budget=32 * 32, transmittance_eps=1e-4,
+    )
+    # init grid densities are 1.0 -> sigma*dt small; eps=1e-4 prunes almost
+    # nothing here, so results stay close.
+    np.testing.assert_allclose(
+        np.asarray(pruned["outputs"]), np.asarray(full["outputs"]), atol=1e-3
+    )
+
+    tight = renderer.render_rays_pooled(
+        key, rays, params, background, grid_state,
+        budget=64, transmittance_eps=0.0,
+    )
+    assert np.all(np.isfinite(np.asarray(tight["outputs"])))
+
+    from learn_nerf_tpu.ops.geometry import ray_bbox_range
+
+    _, _, mask = ray_bbox_range(
+        rays[:, 0], rays[:, 1], jnp.full(3, -1.0), jnp.ones(3)
+    )
+    missed = ~np.asarray(mask)
+    if missed.any():
+        np.testing.assert_allclose(
+            np.asarray(full["outputs"])[missed], 0.5, atol=1e-6
+        )
+
+
+def test_render_frame_occupancy_pooled_and_sharded():
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer, render_frame_occupancy
+    from learn_nerf_tpu.parallel.mesh import default_mesh
+
+    model, params = _small_model_and_params(seed=4)
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    grid_state = grid.init()
+    renderer = OccupancyRenderer(
+        model=model,
+        grid=grid,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=16,
+        samples=8,
+    )
+    rays = jnp.asarray(_random_rays(100, seed=13))  # not a tile multiple
+    background = jnp.asarray([0.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(5)
+
+    out = render_frame_occupancy(
+        renderer, key, rays, params, background, grid_state,
+        tile_size=32, budget_per_ray=8.0, include_depth_outputs=True,
+    )
+    assert out["outputs"].shape == (100, 3)
+    assert out["alphas"].shape == (100, 1)
+    assert out["coords"].shape == (100, 3)
+    assert np.all(np.isfinite(np.asarray(out["outputs"])))
+
+    mesh = default_mesh()
+    sharded = render_frame_occupancy(
+        renderer, key, rays, params, background, grid_state,
+        tile_size=16, budget_per_ray=8.0, mesh=mesh,
+    )
+    assert sharded["outputs"].shape == (100, 3)
+    assert np.all(np.isfinite(np.asarray(sharded["outputs"])))
+
+
+def test_compact_occupied_strided_matches_numpy():
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import compact_occupied_strided
+
+    rng = np.random.RandomState(1)
+    n, c, k = 17, 40, 8
+    ts = np.sort(rng.rand(n, c).astype(np.float32), axis=1)
+    occ = rng.rand(n, c) < 0.35
+    occ[0] = False        # empty ray
+    occ[1] = True         # fully occupied ray (c >> k)
+    occ[2, :5] = True     # exactly under k
+    occ[2, 5:] = False
+
+    sel_ts, sel_mask, scale = map(
+        np.asarray,
+        compact_occupied_strided(jnp.asarray(ts), jnp.asarray(occ), k),
+    )
+    for i in range(n):
+        occupied_ts = ts[i, occ[i]]
+        cnt = len(occupied_ts)
+        np.testing.assert_allclose(scale[i, 0], max(cnt / k, 1.0), rtol=1e-6)
+        if cnt <= k:
+            # first-K semantics: all occupied candidates kept, in order
+            np.testing.assert_allclose(sel_ts[i][sel_mask[i]], occupied_ts)
+            assert sel_mask[i].sum() == cnt
+        else:
+            # strided: k samples at ranks floor(j*cnt/k), covering the span
+            ranks = (np.arange(k) * cnt) // k
+            np.testing.assert_allclose(sel_ts[i][sel_mask[i]], occupied_ts[ranks])
+            assert sel_mask[i].all()
+            # coverage: last kept sample is in the final stride of the span
+            assert sel_ts[i][-1] >= occupied_ts[-(cnt // k + 1)]

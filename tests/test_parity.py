@@ -268,3 +268,71 @@ def test_reference_ngp_checkpoint_cross_load():
     )
     np.testing.assert_allclose(np.asarray(density), g["density"], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rgb), g["rgb"], rtol=1e-5, atol=1e-6)
+
+
+def test_reference_refnerf_checkpoint_cross_load():
+    """Ref-NeRF end-to-end vs the reference, proving the VJP-shared normal
+    path matches the reference's jax.grad normals numerically
+    (reference ref_nerf.py:38-43) along with IDE/sRGB/aux plumbing."""
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.checkpoint import load_params_pickle
+    from learn_nerf_tpu.models import RefNeRFModel
+
+    g = load("refnerf_reference_outputs")
+    params = load_params_pickle(
+        os.path.join(GOLDEN, "refnerf_reference_checkpoint.pkl")
+    )
+    model = RefNeRFModel(
+        sh_degree=4,
+        input_layers=2,
+        mid_layers=2,
+        hidden_dim=32,
+        color_layer_dim=16,
+    )
+    density, rgb, aux = model.apply(
+        dict(params=params["fine"]), jnp.asarray(g["x"]), jnp.asarray(g["d"])
+    )
+    np.testing.assert_allclose(np.asarray(density), g["density"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb), g["rgb"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(aux["normal_mse"]), g["normal_mse"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["neg_normal"]), g["neg_normal"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_reference_ngp_refnerf_checkpoint_cross_load():
+    """NGP x Ref-NeRF hybrid end-to-end vs the reference: smooth hash-grid
+    gradients must flow through the VJP normal path identically
+    (reference instant_ngp.py:57-89)."""
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.checkpoint import load_params_pickle
+    from learn_nerf_tpu.models import InstantNGPRefNeRFModel
+
+    g = load("ngp_refnerf_reference_outputs")
+    params = load_params_pickle(
+        os.path.join(GOLDEN, "ngp_refnerf_reference_checkpoint.pkl")
+    )
+    assert "HashGridEncoding_0" in params["fine"]
+    model = InstantNGPRefNeRFModel(
+        sh_degree=4,
+        table_sizes=[2**10] * 3,
+        grid_sizes=[4, 8, 32],
+        bbox_min=tuple(g["bbox_min"].tolist()),
+        bbox_max=tuple(g["bbox_max"].tolist()),
+        hidden_dim=32,
+    )
+    density, rgb, aux = model.apply(
+        dict(params=params["fine"]), jnp.asarray(g["x"]), jnp.asarray(g["d"])
+    )
+    np.testing.assert_allclose(np.asarray(density), g["density"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb), g["rgb"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(aux["normal_mse"]), g["normal_mse"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["neg_normal"]), g["neg_normal"], rtol=1e-4, atol=1e-5
+    )
