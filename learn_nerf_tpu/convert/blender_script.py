@@ -5,72 +5,83 @@ each animation frame renders to ``{i:05}.png`` with a camera JSON built
 from ``matrix_world`` columns (``x = col0``, ``y = -col1``, ``z = -col2``)
 and the scene bbox (excluding cameras/lights) written to ``metadata.json``.
 
-Usage: set OUTPUT_DIR below, then run in Blender's Scripting tab.
+Set OUTPUT_DIR below, open the script in Blender's text editor, run.
 """
 
+import contextlib
 import json
 import math
 import os
 
 import bpy
+from mathutils import Vector
 
 OUTPUT_DIR = None
-assert OUTPUT_DIR is not None, "must set OUTPUT_DIR"
-os.makedirs(OUTPUT_DIR, exist_ok=True)
-
-scene = bpy.context.scene
 
 
-def scene_bbox():
-    big = 1e5
-    lo, hi = [big] * 3, [-big] * 3
-    for obj in scene.objects.values():
-        if isinstance(obj.data, (bpy.types.Camera, bpy.types.Light)):
-            continue
-        for coord in obj.bound_box:
-            lo = [min(a, b) for a, b in zip(lo, coord)]
-            hi = [max(a, b) for a, b in zip(hi, coord)]
-    return dict(min=lo, max=hi)
+def content_bbox(scene):
+    """Union bound box of everything except cameras and lights."""
+    corners = [
+        Vector(corner)
+        for obj in scene.objects.values()
+        if not isinstance(obj.data, (bpy.types.Camera, bpy.types.Light))
+        for corner in obj.bound_box
+    ]
+    lo = [min(c[i] for c in corners) for i in range(3)]
+    hi = [max(c[i] for c in corners) for i in range(3)]
+    return lo, hi
 
 
-def scene_fov():
+def camera_fovs(scene):
+    """(x_fov, y_fov) with the minor fov derived from the aspect ratio."""
     cam = scene.camera.data
-    width = scene.render.resolution_x
-    height = scene.render.resolution_y
-    x_fov, y_fov = cam.angle_x, cam.angle_y
-    if cam.angle == x_fov:
-        y_fov = 2 * math.atan(math.tan(x_fov / 2) * height / width)
-    else:
-        x_fov = 2 * math.atan(math.tan(y_fov / 2) * width / height)
-    return x_fov, y_fov
+    aspect = scene.render.resolution_y / scene.render.resolution_x
+    if cam.angle == cam.angle_x:
+        return cam.angle_x, 2 * math.atan(math.tan(cam.angle_x / 2) * aspect)
+    return 2 * math.atan(math.tan(cam.angle_y / 2) / aspect), cam.angle_y
 
 
-def camera_json():
-    x_fov, y_fov = scene_fov()
-    matrix = scene.camera.matrix_world
+def frame_json(scene):
+    """Camera pose in the dataset's axis convention."""
+    m = scene.camera.matrix_world
+    x_fov, y_fov = camera_fovs(scene)
     return dict(
-        origin=list(matrix.col[3])[:3],
+        origin=list(m.col[3])[:3],
         x_fov=x_fov,
         y_fov=y_fov,
-        x=list(matrix.col[0])[:3],
-        y=list(-matrix.col[1])[:3],
-        z=list(-matrix.col[2])[:3],
+        x=list(m.col[0])[:3],
+        y=list(-m.col[1])[:3],
+        z=list(-m.col[2])[:3],
     )
 
 
-with open(os.path.join(OUTPUT_DIR, "metadata.json"), "w") as f:
-    json.dump(scene_bbox(), f)
+@contextlib.contextmanager
+def render_settings(scene):
+    """Snapshot and restore render output settings."""
+    saved = (scene.render.filepath, scene.render.image_settings.file_format)
+    try:
+        yield
+    finally:
+        scene.render.filepath = saved[0]
+        scene.render.image_settings.file_format = saved[1]
 
-backup_path = scene.render.filepath
-backup_format = scene.render.image_settings.file_format
-try:
-    scene.render.image_settings.file_format = "PNG"
-    for i, frame in enumerate(range(scene.frame_start, scene.frame_end)):
-        scene.frame_set(frame)
-        scene.render.filepath = os.path.join(OUTPUT_DIR, f"{i:05}")
-        with open(scene.render.filepath + ".json", "w") as f:
-            json.dump(camera_json(), f)
-        bpy.ops.render.render(write_still=True)
-finally:
-    scene.render.filepath = backup_path
-    scene.render.image_settings.file_format = backup_format
+
+def export_animation(scene, output_dir):
+    os.makedirs(output_dir, exist_ok=True)
+    lo, hi = content_bbox(scene)
+    with open(os.path.join(output_dir, "metadata.json"), "w") as f:
+        json.dump(dict(min=lo, max=hi), f)
+
+    with render_settings(scene):
+        scene.render.image_settings.file_format = "PNG"
+        for i, frame in enumerate(range(scene.frame_start, scene.frame_end)):
+            scene.frame_set(frame)
+            scene.render.filepath = os.path.join(output_dir, f"{i:05}")
+            with open(scene.render.filepath + ".json", "w") as f:
+                json.dump(frame_json(scene), f)
+            bpy.ops.render.render(write_still=True)
+
+
+if __name__ == "__main__":
+    assert OUTPUT_DIR is not None, "must set OUTPUT_DIR"
+    export_animation(bpy.context.scene, OUTPUT_DIR)

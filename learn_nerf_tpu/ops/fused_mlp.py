@@ -36,23 +36,34 @@ Array = jnp.ndarray
 TILE = 2048
 
 
-def _sincos(x: Array, freqs: int) -> Array:
-    """Feature-layout-compatible sinusoidal encoding (ops.encoding).
+def sincos_projection(freqs: int, dims: int = 3) -> Tuple[np.ndarray, np.ndarray]:
+    """Sinusoidal encoding as one matmul + one phase-shifted sine.
 
-    Mosaic-friendly form: 2D tensors only (no 3D reshape collapse), integer
-    iota + exp2 for the frequencies (no float iota, no captured consts).
-    Layout matches the reference (per input dim: all sines then all
-    cosines).
+    The naive encoding builds 2*dims skinny ``[T, freqs]`` slices and
+    concatenates along lanes — a relayout festival on TPU.  Instead:
+    ``emb = sin(x @ P + phase)`` where column ``j`` of ``P`` scales the
+    right input dim by ``2^freq`` and ``phase`` is ``pi/2`` on cosine slots
+    (``cos(a) = sin(a + pi/2)``).  One MXU op, one VPU transcendental, no
+    relayouts.  Column order matches ``ops.encoding.sinusoidal_features``
+    (per input dim: all sines, then all cosines).
     """
-    coeffs = jnp.exp2(
-        jax.lax.broadcasted_iota(jnp.int32, (1, freqs), 1).astype(jnp.float32)
+    proj = np.zeros((dims, 2 * dims * freqs), np.float32)
+    phase = np.zeros((1, 2 * dims * freqs), np.float32)
+    col = 0
+    for dim in range(dims):
+        for is_cos in (False, True):
+            for f in range(freqs):
+                proj[dim, col] = 2.0**f
+                phase[0, col] = np.pi / 2 if is_cos else 0.0
+                col += 1
+    return proj, phase
+
+
+def _sincos(x: Array, proj_ref, phase_ref) -> Array:
+    angles = (
+        jnp.dot(x, proj_ref[:], preferred_element_type=jnp.float32) + phase_ref[:]
     )
-    feats = []
-    for dim in range(x.shape[-1]):
-        angles = x[:, dim : dim + 1] * coeffs  # [T, freqs]
-        feats.append(jnp.sin(angles))
-        feats.append(jnp.cos(angles))
-    return jnp.concatenate(feats, axis=-1)
+    return jnp.sin(angles)
 
 
 def pack_vanilla_params(
@@ -78,6 +89,8 @@ def pack_vanilla_params(
         return params[f"Dense_{i}"]["bias"].astype(jnp.float32)[None, :]
 
     ops = []
+    for arr in (*sincos_projection(x_freqs), *sincos_projection(d_freqs)):
+        ops.append(jnp.asarray(arr))
     for i in range(input_layers):
         ops += [w(i), b(i)]
     skip = input_layers
@@ -105,6 +118,7 @@ def _kernel(
     ops = ops_and_out[:-1]
     out_ref = ops_and_out[-1]
     it = iter(ops)
+    proj_x, phase_x, proj_d, phase_d = next(it), next(it), next(it), next(it)
 
     def matmul(z, w_ref, b_ref):
         # bf16 operands on the MXU, f32 accumulation and activations
@@ -119,7 +133,7 @@ def _kernel(
             + b_ref[:]
         )
 
-    emb_x = _sincos(x_ref[:], x_freqs)
+    emb_x = _sincos(x_ref[:], proj_x, phase_x)
     z = emb_x
     for _ in range(input_layers):
         z = jax.nn.relu(matmul(z, next(it), next(it)))
@@ -131,7 +145,7 @@ def _kernel(
     for _ in range(mid_layers - 1):
         z = matmul(jax.nn.relu(z), next(it), next(it))
     density = jax.nn.softplus(matmul(z, next(it), next(it)))
-    emb_d = _sincos(d_ref[:], d_freqs)
+    emb_d = _sincos(d_ref[:], proj_d, phase_d)
     w_cz, w_cd, b_c = next(it), next(it), next(it)
     c = jax.nn.relu(
         matmul(z, w_cz, b_c)

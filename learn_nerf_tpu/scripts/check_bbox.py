@@ -29,11 +29,13 @@ def main(argv=None):
         lambda rays: ray_bbox_range(rays[:, 0], rays[:, 1], bbox_min, bbox_max)[2]
     )
 
+    from ..utils.progress import progress
+
     min_color = None
     max_color = None
     color_sum = np.zeros(3)
     total = 0
-    for view in dataset.views:
+    for view in progress(dataset.views, desc="views"):
         colored = view.rays()
         miss = ~np.asarray(mask_fn(jnp.asarray(colored[:, :2])))
         colors = colored[miss, 2]

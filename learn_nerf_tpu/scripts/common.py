@@ -58,6 +58,22 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         default=128,
         help="occupancy grid resolution per axis",
     )
+    parser.add_argument(
+        "--occ_budget_per_ray",
+        type=float,
+        default=None,
+        help="inference only: pool all surviving samples of a render tile "
+        "into one buffer of tile_size * this many slots (average-case "
+        "model cost instead of the per-ray worst case)",
+    )
+    parser.add_argument(
+        "--occ_t_eps",
+        type=float,
+        default=0.0,
+        help="inference only: drop samples once the occupancy grid's "
+        "approximate transmittance falls below this (early ray "
+        "termination; requires --occ_budget_per_ray)",
+    )
 
 
 def create_model(

@@ -96,7 +96,11 @@ def main(argv=None):
                 tmp_dir, int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
                 args.batch_size,
             )
-            for step, batch in enumerate(batch_iter):
+            from ..utils.progress import progress
+
+            for step, batch in enumerate(
+                progress(batch_iter, desc=f"fold {fold}", total=args.train_iters)
+            ):
                 if step >= args.train_iters:
                     break
                 step_key, key = jax.random.split(key)

@@ -35,12 +35,16 @@ def main(argv=None):
     data = load_dataset(args.data_dir)
     views = data.views[: args.max_views] if args.max_views else data.views
 
+    from ..utils.progress import progress
+
     session = RenderSession(args)
     scores = []
-    for i, view in enumerate(views):
+    for i, view in enumerate(progress(views, desc="views")):
         gt = view.image()
-        args.height, args.width = gt.shape[0], gt.shape[1]
-        pred = session.render_view(view)
+        # Explicit per-view resolution: the jitted frame fn caches one
+        # executable per distinct ray count, so mixed-resolution datasets
+        # compile once per resolution, not per view.
+        pred = session.render_view(view, width=gt.shape[1], height=gt.shape[0])
         session.images.clear()
         score = psnr(pred, gt)
         scores.append(score)

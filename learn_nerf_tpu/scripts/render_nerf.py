@@ -73,7 +73,7 @@ class RenderSession:
 
         if getattr(args, "occupancy", False):
             from ..acceleration import OccupancyGrid, OccupancyGridState
-            from ..occ_render import OccupancyRenderer
+            from ..occ_render import OccupancyRenderer, render_frame_occupancy
 
             grid = OccupancyGrid(
                 bbox_min=tuple(self.metadata.bbox_min),
@@ -97,23 +97,18 @@ class RenderSession:
             )
 
             def frame(key, rays):
-                m = rays.shape[0]
-                tile = min(args.batch_size, m)
-                num_tiles = -(-m // tile)
-                rays_p = jnp.pad(rays, ((0, num_tiles * tile - m), (0, 0), (0, 0)))
-                keys = jax.random.split(key, num_tiles)
-
-                def tile_fn(a):
-                    k, r = a
-                    out, _ = self.renderer.render_rays(
-                        k, r, params["fine"], self.background, grid_state
-                    )
-                    return out["outputs"]
-
-                tiled = jax.lax.map(
-                    tile_fn, (keys, rays_p.reshape(num_tiles, tile, 2, 3))
+                out = render_frame_occupancy(
+                    self.renderer,
+                    key,
+                    rays,
+                    params["fine"],
+                    self.background,
+                    grid_state,
+                    tile_size=min(args.batch_size, rays.shape[0]),
+                    budget_per_ray=getattr(args, "occ_budget_per_ray", None),
+                    transmittance_eps=getattr(args, "occ_t_eps", 0.0),
                 )
-                return tiled.reshape(-1, 3)[:m]
+                return out["outputs"]
 
             self._render = jax.jit(frame)
         else:
@@ -137,15 +132,20 @@ class RenderSession:
                 )["outputs"],
             )
 
-    def render_view(self, view: CameraView) -> np.ndarray:
+    def render_view(self, view: CameraView, width=None, height=None) -> np.ndarray:
+        """Render one view, optionally at an explicit resolution.
+
+        The jitted frame function caches one executable per distinct ray
+        count, so repeated resolutions compile once.
+        """
         import jax
 
-        rays = view.bare_rays(self.args.width, self.args.height)
+        width = width if width is not None else self.args.width
+        height = height if height is not None else self.args.height
+        rays = view.bare_rays(width, height)
         self.key, this_key = jax.random.split(self.key)
         colors = np.asarray(self._render(this_key, rays))
-        image = (
-            (colors.reshape(self.args.height, self.args.width, 3) + 1) * 127.5
-        ).astype(np.uint8)
+        image = ((colors.reshape(height, width, 3) + 1) * 127.5).astype(np.uint8)
         self.images.append(image)
         return image
 
@@ -161,9 +161,10 @@ def main(argv=None):
     parser.add_argument("output_png", type=str)
     args = parser.parse_args(argv)
 
+    from ..utils.progress import progress
+
     session = RenderSession(args)
-    for view_json in args.view_json:
-        print(f"rendering view {view_json}...")
+    for view_json in progress(args.view_json, desc="views"):
         session.render_view(CameraView.from_json(view_json))
     session.save(args.output_png)
 

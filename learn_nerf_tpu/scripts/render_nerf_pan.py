@@ -1,8 +1,8 @@
 """Render a panning orbit around the scene center.
 
-Parity with ``learn_nerf/scripts/render_nerf_pan.py``: camera orbits at
-``distance * |bbox|`` from the center about a fixed (or random) axis with
-60-degree FOV frames.
+Behaviour parity with ``learn_nerf/scripts/render_nerf_pan.py``: the camera
+circles the bbox center at ``distance * |bbox_diagonal|`` about a fixed
+``-z`` (or random) axis, looking inward, with 60-degree FOV frames.
 """
 
 import math
@@ -10,7 +10,54 @@ import math
 import numpy as np
 
 from ..data.camera import CameraView
+from ..utils.progress import progress
 from .render_nerf import RenderSession, argparser
+
+FOV = math.radians(60.0)
+
+
+def orbit_plane(random_axis: bool) -> np.ndarray:
+    """Rows: [rotation axis, in-plane basis 1, in-plane basis 2]."""
+    if random_axis:
+        axis = np.random.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        b1 = np.array([-axis[2], 0.0, axis[0]])
+        b1 /= np.linalg.norm(b1)
+    else:
+        axis = np.array([0.0, 0.0, -1.0])
+        b1 = np.array([1.0, 0.0, 0.0])
+    return np.stack([axis, b1, np.cross(axis, b1)])
+
+
+def orbit_views(
+    num_frames: int,
+    bbox_min,
+    bbox_max,
+    distance: float,
+    random_axis: bool = False,
+):
+    """All orbit cameras at once (vectorized over frames)."""
+    axis, b1, b2 = orbit_plane(random_axis)
+    center = (np.asarray(bbox_min) + np.asarray(bbox_max)) / 2
+    radius = distance * float(
+        np.linalg.norm(np.asarray(bbox_max) - np.asarray(bbox_min))
+    )
+
+    theta = 2 * np.pi * np.arange(num_frames) / num_frames
+    # Camera looks inward along d(theta); its x axis leads by 90 degrees and
+    # its y axis is the orbit axis, matching the reference's frame layout.
+    look = np.outer(np.cos(theta), b1) + np.outer(np.sin(theta), b2)
+    right = -np.outer(np.sin(theta), b1) + np.outer(np.cos(theta), b2)
+
+    for i in range(num_frames):
+        yield CameraView(
+            camera_direction=tuple(look[i].tolist()),
+            camera_origin=tuple((center - radius * look[i]).tolist()),
+            x_axis=tuple(right[i].tolist()),
+            y_axis=tuple(axis.tolist()),
+            x_fov=FOV,
+            y_fov=FOV,
+        )
 
 
 def main(argv=None):
@@ -22,42 +69,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     session = RenderSession(args)
-    bbox_min = np.asarray(session.metadata.bbox_min)
-    bbox_max = np.asarray(session.metadata.bbox_max)
-    scale = float(np.linalg.norm(bbox_min - bbox_max))
-    center = (bbox_min + bbox_max) / 2
-
-    rot_axis = np.array([0.0, 0.0, -1.0])
-    basis_1 = np.array([1.0, 0.0, 0.0])
-    if args.random_axis:
-        rot_axis = np.random.normal(size=(3,))
-        rot_axis /= np.linalg.norm(rot_axis)
-        basis_1 = np.array([-rot_axis[2], 0.0, rot_axis[0]])
-        basis_1 /= np.linalg.norm(basis_1)
-    basis_2 = np.cross(rot_axis, basis_1)
-
-    for frame in range(args.frames):
-        print(f"rendering frame {frame}...")
-        theta = (frame / args.frames) * math.pi * 2
-        direction = np.cos(theta) * basis_1 + np.sin(theta) * basis_2
-        session.render_view(
-            CameraView(
-                camera_direction=tuple(direction.tolist()),
-                camera_origin=tuple(
-                    (-direction * scale * args.distance + center).tolist()
-                ),
-                x_axis=tuple(
-                    (
-                        np.cos(theta + np.pi / 2) * basis_1
-                        + np.sin(theta + np.pi / 2) * basis_2
-                    ).tolist()
-                ),
-                y_axis=tuple(rot_axis.tolist()),
-                x_fov=60.0 * math.pi / 180,
-                y_fov=60.0 * math.pi / 180,
-            )
-        )
-
+    views = orbit_views(
+        args.frames,
+        session.metadata.bbox_min,
+        session.metadata.bbox_max,
+        args.distance,
+        args.random_axis,
+    )
+    for view in progress(views, desc="frames", total=args.frames):
+        session.render_view(view)
     session.save(args.output_png)
 
 

@@ -25,7 +25,9 @@ def main(argv=None):
     x = np.asarray(view.x_axis)
     z = np.asarray(view.camera_direction)
 
-    for i in range(args.frames):
+    from ..utils.progress import progress
+
+    for i in progress(range(args.frames), desc="frames"):
         theta = 2 * math.pi * i / args.frames
         sin, cos = math.sin(theta), math.cos(theta)
         view.x_axis = tuple((cos * x + sin * z).tolist())

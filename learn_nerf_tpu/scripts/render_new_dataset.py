@@ -136,8 +136,9 @@ def main(argv=None):
     scale = float(np.linalg.norm(bbox_min - bbox_max))
     center = (bbox_min + bbox_max) / 2
 
-    for frame in range(args.num_images):
-        print(f"rendering frame {frame}...")
+    from ..utils.progress import progress
+
+    for frame in progress(range(args.num_images), desc="frames"):
         z = np.random.normal(size=(3,))
         z /= np.linalg.norm(z)
         x = np.array([z[1], -z[0], 0.0])

@@ -62,9 +62,12 @@ Camera directional_camera(const Vec3 &bbox_min, const Vec3 &bbox_max,
   return look_at(center + direction * dist, center, fov);
 }
 
+// Lambertian diffuse plus optional Blinn-Phong specular (view-dependent
+// highlights for Ref-NeRF-style shiny scenes; specular 0 = reference look).
 void render_view(const BVH &bvh, const Camera &cam,
                  const std::vector<Light> &lights, const Vec3 &albedo,
-                 int resolution, std::vector<uint8_t> &out) {
+                 double specular, double shininess, int resolution,
+                 std::vector<uint8_t> &out) {
   out.assign((size_t)resolution * resolution * 3, 0);
   double plane = std::tan(cam.fov / 2);
   for (int py = 0; py < resolution; py++) {
@@ -78,16 +81,25 @@ void render_view(const BVH &bvh, const Camera &cam,
       Vec3 p = cam.origin + dir * hit.t;
       Vec3 n = hit.normal;
       if (n.dot(dir) > 0) n = -n;  // face the camera
-      double light_sum = 0;
+      double light_sum = 0, spec_sum = 0;
       for (const Light &l : lights) {
         Vec3 ldir = (l.origin - p).normalized();
         light_sum += l.brightness * std::fmax(0.0, n.dot(ldir));
+        if (specular > 0) {
+          Vec3 h = (ldir - dir).normalized();  // Blinn half vector
+          spec_sum += l.brightness *
+                      std::pow(std::fmax(0.0, n.dot(h)), shininess);
+        }
       }
       light_sum = std::fmin(1.0, light_sum);
+      spec_sum *= specular;
       size_t o = ((size_t)py * resolution + px) * 3;
-      out[o + 0] = (uint8_t)std::lround(255 * std::fmin(1.0, albedo.x * light_sum));
-      out[o + 1] = (uint8_t)std::lround(255 * std::fmin(1.0, albedo.y * light_sum));
-      out[o + 2] = (uint8_t)std::lround(255 * std::fmin(1.0, albedo.z * light_sum));
+      out[o + 0] = (uint8_t)std::lround(
+          255 * std::fmin(1.0, albedo.x * light_sum + spec_sum));
+      out[o + 1] = (uint8_t)std::lround(
+          255 * std::fmin(1.0, albedo.y * light_sum + spec_sum));
+      out[o + 2] = (uint8_t)std::lround(
+          255 * std::fmin(1.0, albedo.z * light_sum + spec_sum));
     }
   }
 }
@@ -118,6 +130,8 @@ void usage() {
           "  -images N            number of images (default 100)\n"
           "  -num-lights N        lights in the scene (default 5)\n"
           "  -light-brightness F  brightness of lights (default 0.5)\n"
+          "  -specular F          Blinn-Phong specular strength (default 0)\n"
+          "  -shininess F         specular exponent (default 32)\n"
           "  -seed N              RNG seed (default 0)\n"
           "  -no-images           only save json files\n"
           "  -rotate              rotating orbit instead of random views\n"
@@ -135,6 +149,8 @@ int main(int argc, char **argv) {
   int num_images = 100;
   int num_lights = 5;
   double light_brightness = 0.5;
+  double specular = 0.0;
+  double shininess = 32.0;
   long seed = 0;
   bool no_images = false, rotate = false;
   Vec3 color{0.8, 0.8, 0.0};
@@ -154,6 +170,8 @@ int main(int argc, char **argv) {
     else if (a == "-images") num_images = atoi(next());
     else if (a == "-num-lights") num_lights = atoi(next());
     else if (a == "-light-brightness") light_brightness = atof(next());
+    else if (a == "-specular") specular = atof(next());
+    else if (a == "-shininess") shininess = atof(next());
     else if (a == "-seed") seed = atol(next());
     else if (a == "-no-images") no_images = true;
     else if (a == "-rotate") rotate = true;
@@ -244,7 +262,8 @@ int main(int argc, char **argv) {
     }
 
     if (!no_images) {
-      render_view(bvh, cam, lights, color, resolution, pixels);
+      render_view(bvh, cam, lights, color, specular, shininess, resolution,
+                  pixels);
       snprintf(name, sizeof(name), "/%04d.png", i);
       pngio::write_png(out_dir + name, pixels.data(), resolution, resolution, 3, 8);
     }
