@@ -14,8 +14,11 @@ Semantics parity with the reference (``learn_nerf/instant_ngp.py:121-224``):
 
 TPU-first shape discipline: corners are a broadcast axis (``[..., 8, 3]``)
 and each level is one batched gather; gradients to the tables lower to XLA
-scatter-adds.  A Pallas kernel version lives behind the same signature (see
-``pallas_kernels.py``).
+scatter-adds.  No Pallas version exists on purpose: XLA's gather/scatter
+are count-bound and cannot be beaten from Pallas (no vectorized arbitrary
+VMEM gather on TPU) — measured in docs/DESIGN.md section 3; hash models
+are accelerated by evaluating fewer points (occupancy culling), not by
+reformulating the lookups.
 """
 
 from typing import List, Sequence, Tuple

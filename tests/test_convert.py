@@ -118,3 +118,38 @@ def test_llff_downscale(tmp_path):
     llff.main(["--factor", "0.5", str(src), out])
     img = Image.open(os.path.join(out, "00000.png"))
     assert img.size == (30, 20)
+
+
+def test_llff_standin_capture_roundtrip(tmp_path):
+    """Full LLFF pipeline: synthetic forward-facing capture in genuine LLFF
+    format -> convert/llff.py -> dataset whose cameras reproduce the ground
+    truth exactly (BASELINE.md config 5 stand-in)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cap, out = str(tmp_path / "cap"), str(tmp_path / "data")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/make_llff_standin.py"), cap, "32"],
+        check=True,
+        capture_output=True,
+        env=dict(os.environ, PYTHONPATH=repo),
+    )
+    from learn_nerf_tpu.convert import llff
+
+    llff.main([cap, out])
+
+    from learn_nerf_tpu.data.dataset import load_dataset
+    from tests.synthetic_scene import cube_color
+
+    data = load_dataset(out)
+    assert len(data.views) == 12
+    # Forward-facing loose bbox covers the cube.
+    assert all(m <= -0.5 for m in data.metadata.bbox_min)
+    assert all(m >= 0.5 for m in data.metadata.bbox_max)
+    for view in data.views[:3]:
+        rays = view.bare_rays(32, 32)
+        expect = cube_color(rays[:, 0], rays[:, 1]).reshape(32, 32, 3)
+        np.testing.assert_array_equal(view.image(), expect)

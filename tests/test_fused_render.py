@@ -1,0 +1,76 @@
+"""Fused render-chain kernel vs the XLA occupancy renderer (interpret mode)."""
+
+import numpy as np
+
+
+def _setup(n=96, candidates=24, samples=8, seed=3):
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    model = NeRFModel()
+    params = model.init(
+        dict(params=jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    rng = np.random.RandomState(seed)
+    densities = jnp.asarray((rng.rand(8**3) < 0.5).astype(np.float32))
+    grid_state = grid.init().replace(densities=densities)
+    renderer = OccupancyRenderer(
+        model=model,
+        grid=grid,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=candidates,
+        samples=samples,
+    )
+    origins = rng.randn(n, 3).astype(np.float32) * 2.5
+    dirs = rng.randn(n, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.stack([origins, dirs], axis=1))
+    return model, params, renderer, grid_state, rays
+
+
+def test_fused_render_matches_xla_occupancy_path():
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.ops.fused_render import (
+        fused_render_occupancy,
+        pack_vanilla_params,
+    )
+
+    model, params, renderer, grid_state, rays = _setup()
+    background = jnp.asarray([0.4, -0.1, 0.7])
+    key = jax.random.PRNGKey(11)
+
+    ref_out, _ = renderer.render_rays(key, rays, params, background, grid_state)
+    packed = pack_vanilla_params(params)
+    fused = fused_render_occupancy(
+        renderer, packed, key, rays, background, grid_state, interpret=True
+    )
+
+    assert fused["outputs"].shape == ref_out["outputs"].shape
+    # bf16 MLP matmuls inside the kernel; the XLA reference path runs f32.
+    np.testing.assert_allclose(
+        np.asarray(fused["outputs"]), np.asarray(ref_out["outputs"]), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["alphas"]), np.asarray(ref_out["alphas"]), atol=2e-2
+    )
+    # Rays that miss the bbox give exactly the background.
+    from learn_nerf_tpu.ops.geometry import ray_bbox_range
+
+    _, _, mask = ray_bbox_range(
+        rays[:, 0], rays[:, 1], jnp.full(3, -1.0), jnp.ones(3)
+    )
+    missed = ~np.asarray(mask)
+    if missed.any():
+        np.testing.assert_allclose(
+            np.asarray(fused["outputs"])[missed],
+            np.broadcast_to(np.asarray(background), (missed.sum(), 3)),
+            atol=1e-6,
+        )
