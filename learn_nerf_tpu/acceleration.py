@@ -51,12 +51,15 @@ class OccupancyGrid:
     threshold: float = 0.01
 
     def init(self) -> OccupancyGridState:
-        """All cells start comfortably occupied (density 1 >> threshold);
-        culling phases in as the decay drains cells the updates never
-        refresh, so early training is unbiased without a warmup counter."""
+        """All cells start occupied, but only just (2x threshold): an empty
+        cell culls after ~log(0.5)/log(decay) updates (~14 at decay 0.95)
+        instead of the ~90 a 1.0 init would need against a 0.01 threshold,
+        while real content is maxed back up by the very first refresh that
+        samples it.  Early training stays unbiased (everything occupied),
+        and culling phases in ~6x sooner."""
         n = self.resolution**3
         return OccupancyGridState(
-            densities=jnp.ones((n,), dtype=jnp.float32),
+            densities=jnp.full((n,), 2.0 * self.threshold, dtype=jnp.float32),
             step=jnp.zeros((), dtype=jnp.int32),
         )
 

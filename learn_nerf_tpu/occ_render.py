@@ -199,7 +199,7 @@ class OccupancyRenderer:
         origins_p = origins[safe_ray]
         dirs_p = dirs[safe_ray]
         points = origins_p + dirs_p * pool_t[:, None]
-        density, rgbs, _ = self.model.apply(dict(params=params), points, dirs_p)
+        density, rgbs, aux = self.model.apply(dict(params=params), points, dirs_p)
         dt_scaled = dt * delta_scale  # [N, 1]
         sig_dt = density[..., 0] * pool_valid * dt_scaled[safe_ray, 0]
 
@@ -225,7 +225,13 @@ class OccupancyRenderer:
         outputs = jnp.where(mask[:, None], outputs, background[None, :])
         alphas = jnp.where(mask[:, None], 1.0 - bg_weight, 0.0)
         coords = jnp.where(mask[:, None], ray_sum(points), 0.0)
-        return dict(outputs=outputs, alphas=alphas, coords=coords)
+        # Aux-loss means, same semantics as ops.volume.average_aux: per-ray
+        # weighted sum, masked rays contribute 0, mean over rays.
+        aux_means = {
+            k: jnp.mean(jnp.where(mask, ray_sum(v[:, None])[:, 0], 0.0))
+            for k, v in aux.items()
+        }
+        return dict(outputs=outputs, alphas=alphas, coords=coords, aux=aux_means)
 
 
 def render_frame_occupancy(

@@ -59,12 +59,33 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         help="occupancy grid resolution per axis",
     )
     parser.add_argument(
+        "--occ_threshold",
+        type=float,
+        default=0.01,
+        help="density above which a grid cell counts as occupied",
+    )
+    parser.add_argument(
         "--occ_budget_per_ray",
         type=float,
         default=None,
         help="inference only: pool all surviving samples of a render tile "
         "into one buffer of tile_size * this many slots (average-case "
         "model cost instead of the per-ray worst case)",
+    )
+    parser.add_argument(
+        "--occ_train_budget",
+        type=float,
+        default=None,
+        help="training: after --occ_train_budget_start steps, pool each "
+        "batch's surviving samples into batch * this many slots (the field "
+        "model runs on actual survivor counts, not N*K padding)",
+    )
+    parser.add_argument(
+        "--occ_train_budget_start",
+        type=int,
+        default=512,
+        help="step at which pooled training kicks in (the grid must have "
+        "started culling or the pool would overflow)",
     )
     parser.add_argument(
         "--occ_t_eps",

@@ -79,6 +79,7 @@ class RenderSession:
                 bbox_min=tuple(self.metadata.bbox_min),
                 bbox_max=tuple(self.metadata.bbox_max),
                 resolution=int(params.get("occupancy_resolution", args.occ_grid)),
+                threshold=getattr(args, "occ_threshold", 0.01),
             )
             if "occupancy_densities" in params:
                 densities = jnp.asarray(params["occupancy_densities"])

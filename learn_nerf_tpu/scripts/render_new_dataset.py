@@ -57,10 +57,11 @@ def main(argv=None):
     )
     if args.occupancy:
         from ..acceleration import OccupancyGrid, OccupancyGridState
-        from ..occ_render import OccupancyRenderer
+        from ..occ_render import OccupancyRenderer, render_frame_occupancy
 
         grid = OccupancyGrid(
             resolution=int(params.get("occupancy_resolution", args.occ_grid)),
+            threshold=getattr(args, "occ_threshold", 0.01),
             **bbox,
         )
         densities = (
@@ -80,30 +81,18 @@ def main(argv=None):
         )
 
         def frame(key, rays):
-            m = rays.shape[0]
-            tile = min(args.batch_size, m)
-            num_tiles = -(-m // tile)
-            rays_p = jnp.pad(rays, ((0, num_tiles * tile - m), (0, 0), (0, 0)))
-            keys = jax.random.split(key, num_tiles)
-
-            def tile_fn(a):
-                k, r = a
-                out, _ = occ_renderer.render_rays(
-                    k, r, params["fine"], background, grid_state
-                )
-                return dict(
-                    outputs=out["outputs"],
-                    alphas=out["alphas"],
-                    coords=out["coords"],
-                )
-
-            tiled = jax.lax.map(
-                tile_fn, (keys, rays_p.reshape(num_tiles, tile, 2, 3))
+            return render_frame_occupancy(
+                occ_renderer,
+                key,
+                rays,
+                params["fine"],
+                background,
+                grid_state,
+                tile_size=min(args.batch_size, rays.shape[0]),
+                budget_per_ray=getattr(args, "occ_budget_per_ray", None),
+                transmittance_eps=getattr(args, "occ_t_eps", 0.0),
+                include_depth_outputs=True,
             )
-            return {
-                k: v.reshape((num_tiles * tile,) + v.shape[2:])[:m]
-                for k, v in tiled.items()
-            }
 
         render = jax.jit(frame)
     else:

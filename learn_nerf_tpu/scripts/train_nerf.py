@@ -115,8 +115,11 @@ def main(argv=None):
             candidates=args.occ_candidates,
             samples=args.occ_samples,
             grid_resolution=args.occ_grid,
+            grid_threshold=args.occ_threshold,
             density_penalty=args.density_penalty,
             density_penalty_batch_size=args.density_penalty_batch_size,
+            pool_budget_per_ray=args.occ_train_budget,
+            pool_start_step=args.occ_train_budget_start,
             **train_kwargs,
         )
     else:

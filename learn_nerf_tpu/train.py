@@ -302,6 +302,50 @@ def compute_losses_occupancy(
     return total, loss_dict
 
 
+def compute_losses_occupancy_pooled(
+    renderer: OccupancyRenderer,
+    params: Dict[str, Any],
+    key: jax.Array,
+    batch: Array,
+    grid_state,
+    loss_weights: Dict[str, float],
+    budget: int,
+    density_penalty: Optional[float] = None,
+    density_penalty_batch_size: int = 128,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Pooled-compaction variant of :func:`compute_losses_occupancy`.
+
+    The field model runs on the batch's actual survivor count (one
+    ``[budget]`` pool) instead of ``[N, K]``; training batches are random
+    rays, so per-batch demand concentrates at the scene mean and a budget
+    of mean + margin drops nothing.  Same loss contract.
+    """
+    key, density_key = jax.random.split(key)
+    out = renderer.render_rays_pooled(
+        key, batch[:, :2], params["fine"], params["background"], grid_state,
+        budget=budget,
+    )
+    targets = batch[:, 2]
+    fine_loss = jnp.mean((out["outputs"] - targets) ** 2)
+    loss_dict = dict(fine=fine_loss)
+    total = fine_loss
+    for name, value in out["aux"].items():
+        loss_dict[f"fine_{name}"] = value
+        total = total + loss_weights[name] * value
+    if density_penalty is not None:
+        penalty = average_density(
+            density_key,
+            renderer.model,
+            params["fine"],
+            jnp.asarray(renderer.bbox_min, dtype=jnp.float32),
+            jnp.asarray(renderer.bbox_max, dtype=jnp.float32),
+            density_penalty_batch_size,
+        )
+        loss_dict["fine_density"] = penalty
+        total = total + density_penalty * penalty
+    return total, loss_dict
+
+
 class OccupancyTrainLoop:
     """Training loop for the occupancy-grid fast path (single field model).
 
@@ -309,6 +353,13 @@ class OccupancyTrainLoop:
     refreshed every ``update_interval`` steps with a partial EMA update
     (``acceleration.OccupancyGrid.update``); the grid is saved into the
     checkpoint so rendering can reuse it.
+
+    With ``pool_budget_per_ray`` set, after ``pool_start_step`` steps the
+    step switches to the pooled-compaction loss (one second compile): by
+    then the grid has begun culling, a batch's total survivor count sits
+    near ``N * scene_mean``, and the field model stops paying for ``[N, K]``
+    padding.  Before that point (grid fully occupied) pooling would
+    overflow any useful budget, so the dense step runs first.
     """
 
     def __init__(
@@ -321,6 +372,7 @@ class OccupancyTrainLoop:
         candidates: int = 192,
         samples: int = 32,
         grid_resolution: int = 128,
+        grid_threshold: float = 0.01,
         update_interval: int = 16,
         update_cells: int = 2**17,
         adam_b1: float = 0.9,
@@ -329,12 +381,17 @@ class OccupancyTrainLoop:
         loss_weights: Optional[Dict[str, float]] = None,
         density_penalty: Optional[float] = None,
         density_penalty_batch_size: int = 128,
+        pool_budget_per_ray: Optional[float] = None,
+        pool_start_step: int = 512,
         mesh: Optional[Mesh] = None,
     ):
         bbox_min_t = tuple(np.asarray(bbox_min, dtype=np.float32).tolist())
         bbox_max_t = tuple(np.asarray(bbox_max, dtype=np.float32).tolist())
         self.grid = OccupancyGrid(
-            bbox_min=bbox_min_t, bbox_max=bbox_max_t, resolution=grid_resolution
+            bbox_min=bbox_min_t,
+            bbox_max=bbox_max_t,
+            resolution=grid_resolution,
+            threshold=grid_threshold,
         )
         self.renderer = OccupancyRenderer(
             model=model,
@@ -391,6 +448,32 @@ class OccupancyTrainLoop:
 
         self._step_fn = step
 
+        self.pool_budget_per_ray = pool_budget_per_ray
+        self.pool_start_step = pool_start_step
+
+        @partial(jax.jit, donate_argnums=0, static_argnums=4)
+        def step_pooled(state, key, batch, grid_state, budget):
+            pooled_loss = partial(
+                compute_losses_occupancy_pooled,
+                self.renderer,
+                loss_weights=self.loss_weights,
+                budget=budget,
+                density_penalty=density_penalty,
+                density_penalty_batch_size=density_penalty_batch_size,
+            )
+            grads, values = jax.grad(
+                lambda p: pooled_loss(
+                    p, key=key, batch=batch, grid_state=grid_state
+                ),
+                has_aux=True,
+            )(state.params)
+            values = dict(
+                values, grad_norm=tree_norm(grads), param_norm=tree_norm(state.params)
+            )
+            return state.apply_gradients(grads=grads), values
+
+        self._pooled_step_fn = step_pooled
+
         @partial(jax.jit, donate_argnums=0, static_argnums=3)
         def update_grid(grid_state, params, key, num_cells):
             return self.grid.update(
@@ -410,6 +493,16 @@ class OccupancyTrainLoop:
                 self.grid_state, self.state.params, grid_key, self.update_cells
             )
         self._host_step += 1
+        if (
+            self.pool_budget_per_ray is not None
+            and self._host_step > self.pool_start_step
+        ):
+            budget = int(batch.shape[0] * self.pool_budget_per_ray)
+            self.state, values = self._pooled_step_fn(
+                self.state, step_key, self.shard_batch(batch), self.grid_state,
+                budget,
+            )
+            return values
         self.state, values = self._step_fn(
             self.state, step_key, self.shard_batch(batch), self.grid_state
         )

