@@ -514,3 +514,44 @@ def test_pooled_training_step_switch():
     # still learning after the switch (loss finite and decreased overall)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_refnerf_occupancy_training_with_pool():
+    """Ref-NeRF under the occupancy loop: aux losses flow through both the
+    dense and pooled steps and stay finite."""
+    import jax
+
+    from learn_nerf_tpu.models import RefNeRFModel
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    model = RefNeRFModel(
+        sh_degree=2, input_layers=1, mid_layers=1, hidden_dim=16, color_layer_dim=8
+    )
+    loop = OccupancyTrainLoop(
+        model,
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-3,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=16,
+        samples=4,
+        grid_resolution=8,
+        update_interval=8,
+        update_cells=128,
+        pool_budget_per_ray=4.0,
+        pool_start_step=1,
+    )
+    rng = np.random.RandomState(2)
+    origins = rng.randn(32, 3).astype(np.float32) * 2
+    dirs = rng.randn(32, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    colors = rng.rand(32, 3).astype(np.float32) * 2 - 1
+    batch = np.stack([origins, dirs, colors], axis=1)
+
+    key = jax.random.PRNGKey(3)
+    for _ in range(3):  # step 1 dense, steps 2-3 pooled
+        key, sk = jax.random.split(key)
+        vals = loop.step(sk, batch)
+    assert "fine_normal_mse" in vals and "fine_neg_normal" in vals
+    for v in vals.values():
+        assert np.isfinite(float(v))
