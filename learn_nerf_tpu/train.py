@@ -545,3 +545,21 @@ class OccupancyTrainLoop:
                 ),
                 replicated_sharding(self.mesh),
             )
+
+    def save_full(self, path: str) -> None:
+        """Full train state (params + Adam moments + step) AND grid state,
+        so resume loses nothing (unlike the reference's params-only pickle,
+        SURVEY.md section 5)."""
+        from .checkpoint import save_train_state
+
+        save_train_state(path, (self.state, self.grid_state))
+
+    def load_full(self, path: str) -> None:
+        from .checkpoint import load_train_state
+
+        state, grid_state = load_train_state(path, (self.state, self.grid_state))
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        self.grid_state = jax.device_put(
+            grid_state, replicated_sharding(self.mesh)
+        )
+        self._host_step = int(self.state.step)

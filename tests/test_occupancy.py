@@ -555,3 +555,56 @@ def test_refnerf_occupancy_training_with_pool():
     assert "fine_normal_mse" in vals and "fine_neg_normal" in vals
     for v in vals.values():
         assert np.isfinite(float(v))
+
+
+def test_occupancy_full_state_resume(tmp_path):
+    """save_full/load_full restores optimizer moments, step counter, and
+    the grid state bit-for-bit; resumed steps match an uninterrupted run."""
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    def make_loop():
+        return OccupancyTrainLoop(
+            NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1),
+            init_rng=jax.random.PRNGKey(0),
+            lr=1e-2,
+            bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1),
+            candidates=16,
+            samples=4,
+            grid_resolution=8,
+            update_interval=4,
+            update_cells=64,
+        )
+
+    rng = np.random.RandomState(0)
+    batch = np.stack(
+        [
+            rng.randn(64, 3).astype(np.float32) * 2,
+            rng.randn(64, 3).astype(np.float32),
+            rng.rand(64, 3).astype(np.float32) * 2 - 1,
+        ],
+        axis=1,
+    )
+    batch[:, 1] /= np.linalg.norm(batch[:, 1], axis=-1, keepdims=True)
+
+    keys = [jax.random.PRNGKey(i) for i in range(6)]
+    a = make_loop()
+    for k in keys[:3]:
+        a.step(k, batch)
+    path = str(tmp_path / "full.msgpack")
+    a.save_full(path)
+    for k in keys[3:]:
+        ref_vals = a.step(k, batch)
+
+    b = make_loop()
+    b.load_full(path)
+    assert b._host_step == 3
+    for k in keys[3:]:
+        got_vals = b.step(k, batch)
+    for key_ in ref_vals:
+        np.testing.assert_allclose(
+            float(got_vals[key_]), float(ref_vals[key_]), rtol=1e-5
+        )
