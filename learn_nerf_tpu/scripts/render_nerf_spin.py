@@ -1,16 +1,35 @@
 """Spin around the camera's y axis from a fixed view.
 
-Parity with ``learn_nerf/scripts/render_nerf_spin.py``: N frames rotating
-the x axis and view direction in their shared plane, concatenated into one
-output image.
+Behaviour parity with ``learn_nerf/scripts/render_nerf_spin.py``: N frames
+rotating the camera's x axis and view direction in their shared plane (a
+yaw-in-place turntable), concatenated into one output image.
 """
-
-import math
 
 import numpy as np
 
 from ..data.camera import CameraView
+from ..utils.progress import progress
 from .render_nerf import RenderSession, argparser
+
+
+def spin_views(view: CameraView, num_frames: int):
+    """Yaw the camera in place through a full turn (vectorized angles)."""
+    plane = np.stack([view.x_axis, view.camera_direction])  # [2, 3]
+    theta = 2 * np.pi * np.arange(num_frames) / num_frames
+    # Rotation in the (x, z) plane: rows are the rotated x and z axes.
+    rot = np.stack(
+        [np.cos(theta), np.sin(theta), -np.sin(theta), np.cos(theta)], axis=-1
+    ).reshape(num_frames, 2, 2)
+    axes = rot @ plane  # [F, 2, 3]
+    for x_axis, direction in axes:
+        yield CameraView(
+            camera_direction=tuple(direction.tolist()),
+            camera_origin=view.camera_origin,
+            x_axis=tuple(x_axis.tolist()),
+            y_axis=view.y_axis,
+            x_fov=view.x_fov,
+            y_fov=view.y_fov,
+        )
 
 
 def main(argv=None):
@@ -21,19 +40,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     session = RenderSession(args)
-    view = CameraView.from_json(args.view_json)
-    x = np.asarray(view.x_axis)
-    z = np.asarray(view.camera_direction)
-
-    from ..utils.progress import progress
-
-    for i in progress(range(args.frames), desc="frames"):
-        theta = 2 * math.pi * i / args.frames
-        sin, cos = math.sin(theta), math.cos(theta)
-        view.x_axis = tuple((cos * x + sin * z).tolist())
-        view.camera_direction = tuple((-sin * x + cos * z).tolist())
+    start = CameraView.from_json(args.view_json)
+    for view in progress(spin_views(start, args.frames), desc="frames",
+                         total=args.frames):
         session.render_view(view)
-
     session.save(args.output_png)
 
 

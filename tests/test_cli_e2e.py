@@ -95,3 +95,79 @@ def test_eval_psnr_cli(tiny_dataset, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "view 0: psnr=" in out
     assert "mean_psnr=" in out
+
+
+def test_spin_and_pan_orbits(tiny_dataset, tmp_path):
+    """Spin (yaw in place) and pan (orbit the center) render the expected
+    reels; the orbit geometry matches the reference contract."""
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.scripts import render_nerf_pan, render_nerf_spin
+    from learn_nerf_tpu.train import TrainLoop
+
+    model = NeRFModel()  # RenderSession rebuilds the default architecture
+    loop = TrainLoop(
+        model, model, init_rng=jax.random.PRNGKey(0), lr=1e-3,
+        coarse_ts=4, fine_ts=4, bbox_min=(-0.7,) * 3, bbox_max=(0.7,) * 3,
+    )
+    pkl = str(tmp_path / "nerf.pkl")
+    loop.save(pkl)
+
+    common = [
+        "--seed", "0", "--batch_size", "64",
+        "--coarse_samples", "4", "--fine_samples", "4",
+        "--width", "8", "--height", "8",
+        "--model_path", pkl, "--frames", "3",
+    ]
+    spin_png = str(tmp_path / "spin.png")
+    render_nerf_spin.main(
+        common + [os.path.join(tiny_dataset, "metadata.json"),
+                  os.path.join(tiny_dataset, "0000.json"), spin_png]
+    )
+    pan_png = str(tmp_path / "pan.png")
+    render_nerf_pan.main(
+        common + [os.path.join(tiny_dataset, "metadata.json"), pan_png]
+    )
+    from PIL import Image
+
+    assert np.asarray(Image.open(spin_png)).shape == (8, 24, 3)
+    assert np.asarray(Image.open(pan_png)).shape == (8, 24, 3)
+
+
+def test_orbit_geometry_contracts():
+    """spin_views yaws in place; orbit_views circles the bbox center at
+    distance * |diag| looking inward with orthonormal frames."""
+    from learn_nerf_tpu.data.camera import CameraView
+    from learn_nerf_tpu.scripts.render_nerf_pan import orbit_views
+    from learn_nerf_tpu.scripts.render_nerf_spin import spin_views
+
+    start = CameraView(
+        camera_direction=(0.0, 0.0, 1.0),
+        camera_origin=(1.0, 2.0, -3.0),
+        x_axis=(1.0, 0.0, 0.0),
+        y_axis=(0.0, 1.0, 0.0),
+        x_fov=1.0,
+        y_fov=1.0,
+    )
+    views = list(spin_views(start, 4))
+    assert len(views) == 4
+    # quarter turn: x -> z, z -> -x; origin fixed
+    np.testing.assert_allclose(views[1].x_axis, (0.0, 0.0, 1.0), atol=1e-12)
+    np.testing.assert_allclose(views[1].camera_direction, (-1.0, 0.0, 0.0), atol=1e-12)
+    for v in views:
+        assert v.camera_origin == start.camera_origin
+
+    bbox_min, bbox_max = (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)
+    radius = 2.0 * np.linalg.norm(np.asarray(bbox_max) - np.asarray(bbox_min))
+    for v in orbit_views(6, bbox_min, bbox_max, distance=2.0):
+        o = np.asarray(v.camera_origin)
+        d = np.asarray(v.camera_direction)
+        x = np.asarray(v.x_axis)
+        y = np.asarray(v.y_axis)
+        np.testing.assert_allclose(np.linalg.norm(o), radius, rtol=1e-6)
+        # looking at the center
+        np.testing.assert_allclose(o + radius * d, 0.0, atol=1e-6)
+        # orthonormal frame
+        for a, b in ((x, y), (x, d), (y, d)):
+            assert abs(np.dot(a, b)) < 1e-9
