@@ -7,9 +7,15 @@ field model evaluated only where the occupancy grid says matter exists:
 1. stratify C cheap candidate ts per ray over the bbox range,
 2. occupancy-test every candidate (one tiny gather per candidate — no
    field-model cost, no gradient),
-3. compact the first K occupied candidates per ray (static shapes),
-4. evaluate the field model on ``[N, K]`` points and composite with the
-   candidate bin width as each survivor's delta.
+3. compact K occupied candidates per ray, evenly strided over the whole
+   occupied span (static shapes; ``acceleration.compact_occupied_strided``),
+4. evaluate the field model on ``[N, K]`` points and composite, each
+   survivor representing ``c/K`` candidate bins.
+
+At inference, :meth:`OccupancyRenderer.render_rays_pooled` additionally
+pools a whole tile's survivors into one static buffer (average-case model
+cost) with optional grid-based early ray termination; see its docstring
+and docs/DESIGN.md section 4.2.
 
 At K=32 and C=192 this evaluates ~6x fewer field points per ray than the
 reference's fine pass alone; for hash-grid models (gather-count-bound on
@@ -141,7 +147,7 @@ class OccupancyRenderer:
         :param rays: ``[N, 2, 3]`` (origin, direction).
         :param budget: static total pooled samples for the whole batch.
         :return: dict with ``outputs [N,3]``, ``alphas [N,1]``,
-                 ``coords [N,3]``.
+                 ``coords [N,3]``, ``aux`` (scalar aux-loss means).
         """
         bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
         bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
