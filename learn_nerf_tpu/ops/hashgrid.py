@@ -104,6 +104,34 @@ def dense_level_rows(grid_size: int, table_size: int) -> int:
     return grid_size**3 if grid_size**3 <= table_size else table_size
 
 
+def _level_groups(
+    grid_sizes: Sequence[int], table_sizes: Sequence[int]
+) -> List[Tuple[int, int]]:
+    """Runs ``[i, j)`` of consecutive levels with identical (grid, table).
+
+    The standard NGP schedule ``grid = 2^(4 + i//2)`` produces levels in
+    PAIRS with the same lattice resolution and table size: their corner
+    indices and interpolation weights are identical, so the pair can share
+    ONE gather over a feature-concatenated ``[rows, 2F]`` table instead of
+    two ``[rows, F]`` gathers.  Gathers/scatter-adds are the count-bound
+    resource on TPU (docs/DESIGN.md section 3), so grouping halves the
+    dominant cost of the hash encoding at identical numerics.
+    """
+    groups: List[Tuple[int, int]] = []
+    i = 0
+    while i < len(grid_sizes):
+        j = i + 1
+        while (
+            j < len(grid_sizes)
+            and grid_sizes[j] == grid_sizes[i]
+            and table_sizes[j] == table_sizes[i]
+        ):
+            j += 1
+        groups.append((i, j))
+        i = j
+    return groups
+
+
 def hash_grid_encode(
     tables: Sequence[Array],
     x: Array,
@@ -113,15 +141,21 @@ def hash_grid_encode(
     bbox_max: Array,
     smooth: bool = False,
     fuse_levels: bool = False,
+    group_levels: bool = True,
 ) -> Array:
     """Encode points with all hash-grid levels, concatenated.
+
+    ``group_levels=True`` (default) shares one gather among consecutive
+    levels with equal (grid, table) size — see :func:`_level_groups`;
+    bit-identical to per-level gathers, ~half the gather/scatter count on
+    the standard pairwise NGP schedule.
 
     ``fuse_levels=True`` runs ONE gather over the per-level tables
     concatenated with row offsets instead of L separate gathers.  Kept for
     experimentation but OFF by default: although isolated scatter
     throughput improves with operand size (tools/exp_scatter.py), the
     end-to-end occupancy train step measured 2.6x SLOWER fused (3.4k vs
-    8.9k rays/s on v5e) — XLA pipelines the 16 independent per-level
+    8.9k rays/s on v5e) — XLA pipelines the independent per-group
     gathers across the step far better than one rank-5 gather.
 
     :param tables: per-level ``[rows_l, F]`` feature tables.
@@ -134,13 +168,21 @@ def hash_grid_encode(
     :return: ``[..., L * F]`` features.
     """
     if not fuse_levels:
+        groups = (
+            _level_groups(grid_sizes, table_sizes)
+            if group_levels
+            else [(i, i + 1) for i in range(len(tables))]
+        )
         outs: List[Array] = []
-        for table, g, t in zip(tables, grid_sizes, table_sizes):
+        for i, j in groups:
             coords, weights = corner_weights_and_coords(
-                x, g, bbox_min, bbox_max, smooth
+                x, grid_sizes[i], bbox_min, bbox_max, smooth
             )
-            idx = level_indices(coords, g, t)  # [..., 8]
-            feats = jnp.take(table, idx, axis=0)  # [..., 8, F]
+            idx = level_indices(coords, grid_sizes[i], table_sizes[i])  # [..., 8]
+            table = (
+                tables[i] if j == i + 1 else jnp.concatenate(tables[i:j], axis=-1)
+            )  # [rows, (j-i)*F]
+            feats = jnp.take(table, idx, axis=0)  # [..., 8, (j-i)*F]
             outs.append(jnp.sum(weights[..., None] * feats, axis=-2))
         return jnp.concatenate(outs, axis=-1)
 

@@ -167,13 +167,25 @@ def main(argv=None):
         profile_ctx = profile_trace(args.profile_dir)
         profile_ctx.__enter__()
 
+    # Hot loop: batches double-buffer onto the device while the previous
+    # step computes, and per-step PRNG keys derive inside the jitted step
+    # (loop.step_auto) — the host issues one dispatch per step.  The
+    # per-step test-loss path keeps the explicit host key chain.
+    from ..data.prefetch import prefetch_to_device
+
+    use_auto = test_iterator is None
+    base_key, key = jax.random.split(key)
+    batches = prefetch_to_device(
+        data.iterate_batches(shuffle_dir, data_seed, args.batch_size),
+        loop.shard_batch,
+    )
     try:
-        for i, batch in enumerate(
-            data.iterate_batches(shuffle_dir, data_seed, args.batch_size)
-        ):
-            step_key, test_key, key = jax.random.split(key, 3)
-            losses = loop.step(step_key, batch)
-            if test_iterator is not None:
+        for i, batch in enumerate(batches):
+            if use_auto:
+                losses = loop.step_auto(base_key, batch)
+            else:
+                step_key, test_key, key = jax.random.split(key, 3)
+                losses = loop.step(step_key, batch)
                 test_batch = next(test_iterator)
                 test_losses = loop.eval_losses(test_key, test_batch)
                 losses = dict(losses, **{f"test_{k}": v for k, v in test_losses.items()})

@@ -186,8 +186,7 @@ class TrainLoop:
             density_penalty_batch_size=self.density_penalty_batch_size,
         )
 
-        @partial(jax.jit, donate_argnums=0)
-        def step(state, key, batch):
+        def step_body(state, key, batch):
             grads, values = jax.grad(
                 lambda p: loss_fn(p, key=key, batch=batch), has_aux=True
             )(state.params)
@@ -196,6 +195,18 @@ class TrainLoop:
             )
             return state.apply_gradients(grads=grads), values
 
+        @partial(jax.jit, donate_argnums=0)
+        def step(state, key, batch):
+            return step_body(state, key, batch)
+
+        @partial(jax.jit, donate_argnums=0)
+        def step_auto(state, base_key, batch):
+            # Per-step key derived ON DEVICE from the optimizer step counter:
+            # the host never dispatches jax.random.split per step (each tiny
+            # dispatch is a relay round trip on remote TPU runtimes).
+            return step_body(state, jax.random.fold_in(base_key, state.step), batch)
+
+        self._auto_step_fn = step_auto
         return step
 
     def shard_batch(self, batch) -> jax.Array:
@@ -215,6 +226,17 @@ class TrainLoop:
     def step(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
         """One in-place training step; returns the (lazy) logging dict."""
         self.state, values = self._step_fn(self.state, key, self.shard_batch(batch))
+        return values
+
+    def step_auto(self, base_key: jax.Array, batch: Array) -> Dict[str, Array]:
+        """Hot-loop step: the per-step key is ``fold_in(base_key, step)``
+        computed inside the jitted program, so the host issues exactly one
+        dispatch per step.  Pass the SAME ``base_key`` every call; the key
+        sequence continues correctly across a full-state resume because it
+        is a pure function of the checkpointed step counter."""
+        self.state, values = self._auto_step_fn(
+            self.state, base_key, self.shard_batch(batch)
+        )
         return values
 
     def eval_losses(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
@@ -435,8 +457,7 @@ class OccupancyTrainLoop:
         )
         self._loss_fn = loss_fn
 
-        @partial(jax.jit, donate_argnums=0)
-        def step(state, key, batch, grid_state):
+        def step_body(state, key, batch, grid_state):
             grads, values = jax.grad(
                 lambda p: loss_fn(p, key=key, batch=batch, grid_state=grid_state),
                 has_aux=True,
@@ -446,13 +467,23 @@ class OccupancyTrainLoop:
             )
             return state.apply_gradients(grads=grads), values
 
+        @partial(jax.jit, donate_argnums=0)
+        def step(state, key, batch, grid_state):
+            return step_body(state, key, batch, grid_state)
+
+        @partial(jax.jit, donate_argnums=0)
+        def step_auto(state, base_key, batch, grid_state):
+            # In-jit per-step key (see TrainLoop.step_auto): tag 0 = train.
+            key = jax.random.fold_in(jax.random.fold_in(base_key, 0), state.step)
+            return step_body(state, key, batch, grid_state)
+
         self._step_fn = step
+        self._auto_step_fn = step_auto
 
         self.pool_budget_per_ray = pool_budget_per_ray
         self.pool_start_step = pool_start_step
 
-        @partial(jax.jit, donate_argnums=0, static_argnums=4)
-        def step_pooled(state, key, batch, grid_state, budget):
+        def pooled_body(state, key, batch, grid_state, budget):
             pooled_loss = partial(
                 compute_losses_occupancy_pooled,
                 self.renderer,
@@ -472,7 +503,17 @@ class OccupancyTrainLoop:
             )
             return state.apply_gradients(grads=grads), values
 
+        @partial(jax.jit, donate_argnums=0, static_argnums=4)
+        def step_pooled(state, key, batch, grid_state, budget):
+            return pooled_body(state, key, batch, grid_state, budget)
+
+        @partial(jax.jit, donate_argnums=0, static_argnums=4)
+        def step_pooled_auto(state, base_key, batch, grid_state, budget):
+            key = jax.random.fold_in(jax.random.fold_in(base_key, 0), state.step)
+            return pooled_body(state, key, batch, grid_state, budget)
+
         self._pooled_step_fn = step_pooled
+        self._auto_pooled_step_fn = step_pooled_auto
 
         @partial(jax.jit, donate_argnums=0, static_argnums=3)
         def update_grid(grid_state, params, key, num_cells):
@@ -481,6 +522,16 @@ class OccupancyTrainLoop:
             )
 
         self._update_grid_fn = update_grid
+
+        @partial(jax.jit, donate_argnums=0, static_argnums=4)
+        def update_grid_auto(grid_state, params, base_key, step, num_cells):
+            # tag 1 = grid refresh (disjoint from the train-step stream).
+            key = jax.random.fold_in(jax.random.fold_in(base_key, 1), step)
+            return self.grid.update(
+                grid_state, self.model, params["fine"], key, num_cells=num_cells
+            )
+
+        self._update_grid_auto_fn = update_grid_auto
 
     shard_batch = TrainLoop.shard_batch
 
@@ -505,6 +556,37 @@ class OccupancyTrainLoop:
             return values
         self.state, values = self._step_fn(
             self.state, step_key, self.shard_batch(batch), self.grid_state
+        )
+        return values
+
+    def step_auto(self, base_key: jax.Array, batch: Array) -> Dict[str, Array]:
+        """Hot-loop step with in-jit PRNG derivation (see
+        :meth:`TrainLoop.step_auto`): pass the SAME ``base_key`` every call.
+        Train keys fold the device step counter under tag 0; grid-refresh
+        keys fold the host step counter under tag 1, so the two streams
+        never collide.  Resume-consistent: both counters are checkpointed
+        by :meth:`save_full`."""
+        if self._host_step % self.update_interval == 0:
+            self.grid_state = self._update_grid_auto_fn(
+                self.grid_state,
+                self.state.params,
+                base_key,
+                self._host_step,
+                self.update_cells,
+            )
+        self._host_step += 1
+        batch = self.shard_batch(batch)
+        if (
+            self.pool_budget_per_ray is not None
+            and self._host_step > self.pool_start_step
+        ):
+            budget = int(batch.shape[0] * self.pool_budget_per_ray)
+            self.state, values = self._auto_pooled_step_fn(
+                self.state, base_key, batch, self.grid_state, budget
+            )
+            return values
+        self.state, values = self._auto_step_fn(
+            self.state, base_key, batch, self.grid_state
         )
         return values
 

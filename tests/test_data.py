@@ -148,3 +148,33 @@ def test_multihost_shuffle_disjoint():
                 for i in expect_views
             }
             assert origins == expected
+
+
+def test_prefetch_to_device_order_and_depth():
+    """prefetch_to_device preserves order, applies place exactly once per
+    item, and keeps `depth` placements dispatched ahead of consumption."""
+    import pytest
+
+    from learn_nerf_tpu.data.prefetch import prefetch_to_device
+
+    placed = []
+
+    def place(x):
+        placed.append(x)
+        return x * 10
+
+    out = prefetch_to_device(range(5), place, depth=2)
+    first = next(out)
+    assert first == 0
+    # Double buffering: items 0 and 1 were placed before 0 was yielded,
+    # and pulling one more keeps exactly one extra in flight.
+    assert placed == [0, 1]
+    assert next(out) == 10
+    assert placed == [0, 1, 2]
+    assert list(out) == [20, 30, 40]
+    assert placed == [0, 1, 2, 3, 4]
+
+    assert list(prefetch_to_device([], place, depth=3)) == []
+    assert list(prefetch_to_device([7], lambda x: x, depth=4)) == [7]
+    with pytest.raises(ValueError):
+        next(prefetch_to_device([1], lambda x: x, depth=0))

@@ -608,3 +608,110 @@ def test_occupancy_full_state_resume(tmp_path):
         np.testing.assert_allclose(
             float(got_vals[key_]), float(ref_vals[key_]), rtol=1e-5
         )
+
+
+def test_occupancy_step_auto_resume_and_determinism(tmp_path):
+    """step_auto derives per-step keys in-program from the checkpointed
+    counters: two loops fed the same base key and batches match exactly,
+    and a full-state resume continues the identical key sequence."""
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    def make_loop():
+        return OccupancyTrainLoop(
+            NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1),
+            init_rng=jax.random.PRNGKey(0),
+            lr=1e-2,
+            bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1),
+            candidates=16,
+            samples=4,
+            grid_resolution=8,
+            update_interval=2,
+            update_cells=64,
+        )
+
+    rng = np.random.RandomState(3)
+    batches = []
+    for _ in range(4):
+        b = np.stack(
+            [
+                rng.randn(64, 3).astype(np.float32) * 2,
+                rng.randn(64, 3).astype(np.float32),
+                rng.rand(64, 3).astype(np.float32) * 2 - 1,
+            ],
+            axis=1,
+        )
+        b[:, 1] /= np.linalg.norm(b[:, 1], axis=-1, keepdims=True)
+        batches.append(b)
+
+    base = jax.random.PRNGKey(42)
+
+    a = make_loop()
+    for b in batches:
+        a_vals = a.step_auto(base, b)
+    assert int(a.state.step) == 4
+    for v in a_vals.values():
+        assert np.isfinite(float(v))
+
+    # Interrupted twin: 2 steps, full-state checkpoint, resume, 2 more.
+    c = make_loop()
+    for b in batches[:2]:
+        c.step_auto(base, b)
+    path = str(tmp_path / "full.msgpack")
+    c.save_full(path)
+    d = make_loop()
+    d.load_full(path)
+    assert d._host_step == 2
+    for b in batches[2:]:
+        d_vals = d.step_auto(base, b)
+    for key_ in a_vals:
+        np.testing.assert_allclose(
+            float(d_vals[key_]), float(a_vals[key_]), rtol=1e-6
+        )
+    for pa, pd in zip(
+        jax.tree_util.tree_leaves(a.state.params),
+        jax.tree_util.tree_leaves(d.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pd))
+
+
+def test_occupancy_step_auto_pooled_switch():
+    """step_auto honors the pooled-compaction switchover like step."""
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    loop = OccupancyTrainLoop(
+        NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1),
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-2,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=16,
+        samples=4,
+        grid_resolution=8,
+        update_interval=2,
+        update_cells=64,
+        pool_budget_per_ray=4.0,
+        pool_start_step=1,
+    )
+    rng = np.random.RandomState(5)
+    batch = np.stack(
+        [
+            rng.randn(32, 3).astype(np.float32) * 2,
+            rng.randn(32, 3).astype(np.float32),
+            rng.rand(32, 3).astype(np.float32) * 2 - 1,
+        ],
+        axis=1,
+    )
+    batch[:, 1] /= np.linalg.norm(batch[:, 1], axis=-1, keepdims=True)
+    base = jax.random.PRNGKey(9)
+    vals = {}
+    for _ in range(2):  # step 1 dense, step 2 pooled
+        vals = loop.step_auto(base, batch)
+    for v in vals.values():
+        assert np.isfinite(float(v))

@@ -176,3 +176,69 @@ def test_smooth_hashgrid_has_continuous_gradient():
     g = jax.grad(f)(x)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_hash_grid_level_grouping_exact():
+    """Grouped-gather encoding (pairs of equal-resolution levels share one
+    gather over a feature-concatenated table) is bit-identical to per-level
+    gathers, for outputs AND table gradients, in both interpolation modes."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.ops.hashgrid import (
+        _level_groups,
+        dense_level_rows,
+        hash_grid_encode,
+    )
+
+    # Standard NGP schedule: levels come in pairs -> 8 groups of 2.
+    grid_sizes = [2 ** (4 + i // 2) for i in range(16)]
+    table_sizes = [2**14] * 16
+    assert _level_groups(grid_sizes, table_sizes) == [
+        (2 * i, 2 * i + 2) for i in range(8)
+    ]
+
+    rng = np.random.RandomState(11)
+    tables = [
+        jnp.asarray(
+            rng.randn(dense_level_rows(g, t), 2).astype(np.float32) * 1e-2
+        )
+        for g, t in zip(grid_sizes, table_sizes)
+    ]
+    x = jnp.asarray(rng.rand(33, 3).astype(np.float32) * 2 - 0.5)
+
+    for smooth in (False, True):
+
+        def enc(ts, grouped, smooth=smooth):
+            return hash_grid_encode(
+                ts,
+                x,
+                grid_sizes,
+                table_sizes,
+                -jnp.ones(3),
+                2 * jnp.ones(3),
+                smooth=smooth,
+                group_levels=grouped,
+            )
+
+        out_grouped = enc(tables, True)
+        out_plain = enc(tables, False)
+        assert out_grouped.shape == (33, 32)
+        np.testing.assert_array_equal(
+            np.asarray(out_grouped), np.asarray(out_plain)
+        )
+
+        g_grouped = jax.grad(lambda ts: jnp.sum(jnp.sin(enc(ts, True))))(tables)
+        g_plain = jax.grad(lambda ts: jnp.sum(jnp.sin(enc(ts, False))))(tables)
+        for a, b in zip(g_grouped, g_plain):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hash_grid_grouping_respects_boundaries():
+    """Levels with different grid or table sizes never share a gather."""
+    from learn_nerf_tpu.ops.hashgrid import _level_groups
+
+    assert _level_groups([16, 16, 32], [64, 64, 64]) == [(0, 2), (2, 3)]
+    assert _level_groups([16, 16], [64, 128]) == [(0, 1), (1, 2)]
+    assert _level_groups([16], [64]) == [(0, 1)]
+    assert _level_groups([], []) == []
