@@ -49,14 +49,24 @@ class OccupancyGrid:
     # uses 0.01 * 1024 / sqrt(3) / diag in its unit parameterization; for
     # bbox scenes a small absolute density works (sigma*delta ~ opacity).
     threshold: float = 0.01
+    # For the first ``warmup_updates`` grid updates every cell tests
+    # occupied and decay is suppressed (updates only max densities in).
+    # Guards against the young-model failure loop: a true surface whose
+    # density the model has not yet raised above ``threshold`` would
+    # otherwise cull, stop receiving ray samples, and never recover
+    # (refreshes read the model, which only learns where samples fall).
+    # 16 updates x the training loop's default update_interval 16 = 256
+    # unbiased steps, matching Instant NGP's warmup.
+    warmup_updates: int = 16
 
     def init(self) -> OccupancyGridState:
-        """All cells start occupied, but only just (2x threshold): an empty
-        cell culls after ~log(0.5)/log(decay) updates (~14 at decay 0.95)
-        instead of the ~90 a 1.0 init would need against a 0.01 threshold,
-        while real content is maxed back up by the very first refresh that
-        samples it.  Early training stays unbiased (everything occupied),
-        and culling phases in ~6x sooner."""
+        """All cells start occupied, but only just (2x threshold): once the
+        warmup window passes, an empty cell culls after
+        ~log(0.5)/log(decay) updates (~14 at decay 0.95) instead of the
+        ~90 a 1.0 init would need against a 0.01 threshold.  Decay is
+        suppressed during warmup, so cells the partial refresh never
+        visited leave warmup still at 2x threshold with the full ~14-update
+        grace ahead of them."""
         n = self.resolution**3
         return OccupancyGridState(
             densities=jnp.full((n,), 2.0 * self.threshold, dtype=jnp.float32),
@@ -73,10 +83,14 @@ class OccupancyGrid:
         return cell[..., 0] + r * (cell[..., 1] + r * cell[..., 2])
 
     def occupied(self, state: OccupancyGridState, x: Array) -> Array:
-        """Boolean occupancy per point (stop-gradient semantics)."""
+        """Boolean occupancy per point (stop-gradient semantics).
+
+        All-true while ``state.step < warmup_updates`` (see the field
+        docstring); thereafter a threshold test on the EMA densities.
+        """
         idx = self.cell_indices(x)
         d = jax.lax.stop_gradient(state.densities)[idx]
-        return d > self.threshold
+        return (d > self.threshold) | (state.step < self.warmup_updates)
 
     def cell_positions(self, key: jax.Array, ids: Array) -> Array:
         """World-space positions of cells ``ids``, jittered within the cell."""
@@ -116,7 +130,11 @@ class OccupancyGrid:
         density, _, _ = model.apply(dict(params=params), pts, dirs)
         density = jax.lax.stop_gradient(density[..., 0])
 
-        decayed = state.densities * self.decay
+        # No decay during warmup: partial refreshes may not visit a cell at
+        # all in the warmup window, and an unvisited cell must leave warmup
+        # at its init value, not eroded below threshold.
+        decay = jnp.where(state.step < self.warmup_updates, 1.0, self.decay)
+        decayed = state.densities * decay
         densities = decayed.at[ids].max(density)
         return OccupancyGridState(densities=densities, step=state.step + 1)
 

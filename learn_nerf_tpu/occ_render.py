@@ -161,7 +161,11 @@ class OccupancyRenderer:
         cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
         cell_idx = self.grid.cell_indices(cand_pts)
         d_grid = jax.lax.stop_gradient(grid_state.densities)[cell_idx]  # [N, C]
-        occ = d_grid > self.grid.threshold
+        # Same warmup semantics as grid.occupied (d_grid kept for the
+        # transmittance estimate below).
+        occ = (d_grid > self.grid.threshold) | (
+            grid_state.step < self.grid.warmup_updates
+        )
         dt = (t_max - t_min)[:, None] / self.candidates  # [N, 1]
 
         if transmittance_eps > 0.0:
@@ -249,7 +253,7 @@ def render_frame_occupancy(
     grid_state: OccupancyGridState,
     tile_size: int = 8192,
     budget_per_ray: Optional[float] = None,
-    transmittance_eps: float = 1e-3,
+    transmittance_eps: float = 0.0,
     include_depth_outputs: bool = False,
     mesh=None,
 ) -> Dict[str, Array]:

@@ -60,8 +60,18 @@ def sincos_projection(freqs: int, dims: int = 3) -> Tuple[np.ndarray, np.ndarray
 
 
 def _sincos(x: Array, proj_ref, phase_ref) -> Array:
+    # HIGHEST precision: default TPU matmul precision rounds the f32
+    # coordinates toward bf16, and at the top frequency (2^9 for
+    # x_freqs=10) that phase error is O(1) radians — the angles must be
+    # exact for the encoding to match the elementwise reference.
     angles = (
-        jnp.dot(x, proj_ref[:], preferred_element_type=jnp.float32) + phase_ref[:]
+        jnp.dot(
+            x,
+            proj_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + phase_ref[:]
     )
     return jnp.sin(angles)
 
@@ -109,8 +119,6 @@ def pack_vanilla_params(
 def _kernel(
     input_layers,
     mid_layers,
-    x_freqs,
-    d_freqs,
     x_ref,
     d_ref,
     *ops_and_out,
@@ -158,7 +166,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("input_layers", "mid_layers", "x_freqs", "d_freqs", "interpret")
+    jax.jit, static_argnames=("input_layers", "mid_layers", "interpret")
 )
 def fused_nerf_forward(
     packed: Tuple[Array, ...],
@@ -166,11 +174,12 @@ def fused_nerf_forward(
     d: Array,
     input_layers: int = 5,
     mid_layers: int = 4,
-    x_freqs: int = 10,
-    d_freqs: int = 4,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """Run the fused MLP on ``[..., 3]`` points/dirs.
+
+    The encoding frequencies are baked into ``packed`` (the sincos
+    projection matrices), so only the layer counts are statics here.
 
     :param packed: output of :func:`pack_vanilla_params`.
     :return: ``(density [..., 1], rgb [..., 3])`` in f32.
@@ -194,7 +203,7 @@ def fused_nerf_forward(
         for op in packed
     ]
     out = pl.pallas_call(
-        functools.partial(_kernel, input_layers, mid_layers, x_freqs, d_freqs),
+        functools.partial(_kernel, input_layers, mid_layers),
         out_shape=jax.ShapeDtypeStruct((padded, 4), jnp.float32),
         grid=(grid,),
         in_specs=[point_spec, point_spec] + weight_specs,

@@ -62,8 +62,17 @@ def _kernel(
         )
 
     def sincos(x, proj, phase):
+        # HIGHEST precision: the f32 coordinates must reach the 2^freq
+        # scaling un-rounded or high-frequency phases are O(1) rad off
+        # (see ops.fused_mlp._sincos).
         return jnp.sin(
-            jnp.dot(x, proj[:], preferred_element_type=jnp.float32) + phase[:]
+            jnp.dot(
+                x,
+                proj[:],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + phase[:]
         )
 
     emb_x = sincos(points_ref[:], proj_x, phase_x)

@@ -82,12 +82,13 @@ class RenderSession:
                 threshold=getattr(args, "occ_threshold", 0.01),
             )
             if "occupancy_densities" in params:
+                # A trained grid: mark it past warmup so culling applies.
                 densities = jnp.asarray(params["occupancy_densities"])
+                step = jnp.asarray(grid.warmup_updates, jnp.int32)
             else:
                 densities = grid.init().densities  # everything occupied
-            grid_state = OccupancyGridState(
-                densities=densities, step=jnp.zeros((), jnp.int32)
-            )
+                step = jnp.zeros((), jnp.int32)
+            grid_state = OccupancyGridState(densities=densities, step=step)
             self.renderer = OccupancyRenderer(
                 model=fine,
                 grid=grid,

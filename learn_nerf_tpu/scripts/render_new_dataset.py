@@ -64,14 +64,14 @@ def main(argv=None):
             threshold=getattr(args, "occ_threshold", 0.01),
             **bbox,
         )
-        densities = (
-            jnp.asarray(params["occupancy_densities"])
-            if "occupancy_densities" in params
-            else grid.init().densities
-        )
-        grid_state = OccupancyGridState(
-            densities=densities, step=jnp.zeros((), jnp.int32)
-        )
+        if "occupancy_densities" in params:
+            # A trained grid: mark it past warmup so culling applies.
+            densities = jnp.asarray(params["occupancy_densities"])
+            step = jnp.asarray(grid.warmup_updates, jnp.int32)
+        else:
+            densities = grid.init().densities
+            step = jnp.zeros((), jnp.int32)
+        grid_state = OccupancyGridState(densities=densities, step=step)
         occ_renderer = OccupancyRenderer(
             model=fine,
             grid=grid,

@@ -405,6 +405,7 @@ class OccupancyTrainLoop:
         density_penalty_batch_size: int = 128,
         pool_budget_per_ray: Optional[float] = None,
         pool_start_step: int = 512,
+        grid_warmup_updates: int = 16,
         mesh: Optional[Mesh] = None,
     ):
         bbox_min_t = tuple(np.asarray(bbox_min, dtype=np.float32).tolist())
@@ -414,6 +415,7 @@ class OccupancyTrainLoop:
             bbox_max=bbox_max_t,
             resolution=grid_resolution,
             threshold=grid_threshold,
+            warmup_updates=grid_warmup_updates,
         )
         self.renderer = OccupancyRenderer(
             model=model,
@@ -535,29 +537,41 @@ class OccupancyTrainLoop:
 
     shard_batch = TrainLoop.shard_batch
 
-    def step(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
-        step_key, grid_key = jax.random.split(key)
-        # Host-side step counter: reading self.state.step would force a
-        # device->host sync every step (expensive on remote TPU runtimes).
+    def _dispatch_step(self, batch, refresh_grid, dense, pooled):
+        """Shared per-step driver for :meth:`step` / :meth:`step_auto`:
+        grid-refresh cadence on the host-side counter (reading
+        ``self.state.step`` would force a device->host sync every step),
+        then the pooled-compaction switchover.  The pool budget derives
+        from the *assembled global* batch, so multi-host runs pool the
+        same total the single-host config implies."""
         if self._host_step % self.update_interval == 0:
-            self.grid_state = self._update_grid_fn(
-                self.grid_state, self.state.params, grid_key, self.update_cells
-            )
+            self.grid_state = refresh_grid()
         self._host_step += 1
+        batch = self.shard_batch(batch)
         if (
             self.pool_budget_per_ray is not None
             and self._host_step > self.pool_start_step
         ):
             budget = int(batch.shape[0] * self.pool_budget_per_ray)
-            self.state, values = self._pooled_step_fn(
-                self.state, step_key, self.shard_batch(batch), self.grid_state,
-                budget,
-            )
-            return values
-        self.state, values = self._step_fn(
-            self.state, step_key, self.shard_batch(batch), self.grid_state
-        )
+            self.state, values = pooled(batch, budget)
+        else:
+            self.state, values = dense(batch)
         return values
+
+    def step(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
+        step_key, grid_key = jax.random.split(key)
+        return self._dispatch_step(
+            batch,
+            refresh_grid=lambda: self._update_grid_fn(
+                self.grid_state, self.state.params, grid_key, self.update_cells
+            ),
+            dense=lambda b: self._step_fn(
+                self.state, step_key, b, self.grid_state
+            ),
+            pooled=lambda b, budget: self._pooled_step_fn(
+                self.state, step_key, b, self.grid_state, budget
+            ),
+        )
 
     def step_auto(self, base_key: jax.Array, batch: Array) -> Dict[str, Array]:
         """Hot-loop step with in-jit PRNG derivation (see
@@ -566,29 +580,22 @@ class OccupancyTrainLoop:
         keys fold the host step counter under tag 1, so the two streams
         never collide.  Resume-consistent: both counters are checkpointed
         by :meth:`save_full`."""
-        if self._host_step % self.update_interval == 0:
-            self.grid_state = self._update_grid_auto_fn(
+        return self._dispatch_step(
+            batch,
+            refresh_grid=lambda: self._update_grid_auto_fn(
                 self.grid_state,
                 self.state.params,
                 base_key,
                 self._host_step,
                 self.update_cells,
-            )
-        self._host_step += 1
-        batch = self.shard_batch(batch)
-        if (
-            self.pool_budget_per_ray is not None
-            and self._host_step > self.pool_start_step
-        ):
-            budget = int(batch.shape[0] * self.pool_budget_per_ray)
-            self.state, values = self._auto_pooled_step_fn(
-                self.state, base_key, batch, self.grid_state, budget
-            )
-            return values
-        self.state, values = self._auto_step_fn(
-            self.state, base_key, batch, self.grid_state
+            ),
+            dense=lambda b: self._auto_step_fn(
+                self.state, base_key, b, self.grid_state
+            ),
+            pooled=lambda b, budget: self._auto_pooled_step_fn(
+                self.state, base_key, b, self.grid_state, budget
+            ),
         )
-        return values
 
     def eval_losses(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
         if not hasattr(self, "_eval_fn"):

@@ -135,7 +135,12 @@ def test_llff_standin_capture_roundtrip(tmp_path):
         [sys.executable, os.path.join(repo, "tools/make_llff_standin.py"), cap, "32"],
         check=True,
         capture_output=True,
-        env=dict(os.environ, PYTHONPATH=repo),
+        env=dict(
+            os.environ,
+            # Append, don't override: the TPU platform registration rides
+            # in the inherited PYTHONPATH (see CLAUDE.md).
+            PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        ),
     )
     from learn_nerf_tpu.convert import llff
 

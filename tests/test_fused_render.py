@@ -18,7 +18,10 @@ def _setup(n=96, candidates=24, samples=8, seed=3):
     grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
     rng = np.random.RandomState(seed)
     densities = jnp.asarray((rng.rand(8**3) < 0.5).astype(np.float32))
-    grid_state = grid.init().replace(densities=densities)
+    grid_state = grid.init().replace(
+        densities=densities,
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),  # past warmup
+    )
     renderer = OccupancyRenderer(
         model=model,
         grid=grid,

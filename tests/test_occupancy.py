@@ -53,8 +53,11 @@ def test_grid_update_marks_dense_cells():
         dict(params=jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
     ).get("params", {})
 
+    # warmup_updates=0: this test is about the cull dynamics themselves;
+    # warmup semantics get their own test below.
     grid = OccupancyGrid(
-        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16, decay=0.3
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16, decay=0.3,
+        warmup_updates=0,
     )
     state = grid.init()
     key = jax.random.PRNGKey(1)
@@ -72,7 +75,8 @@ def test_grid_update_marks_dense_cells():
     # refresh interval (1024/4096 cells per update -> ~4 updates between
     # refreshes; decay 0.8 keeps a dense cell alive ~21 updates).
     grid2 = OccupancyGrid(
-        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16, decay=0.8
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16, decay=0.8,
+        warmup_updates=0,
     )
     state2 = grid2.init()
     for _ in range(40):
@@ -80,6 +84,50 @@ def test_grid_update_marks_dense_cells():
         state2 = grid2.update(state2, model, params, sk, num_cells=1024)
     assert bool(grid2.occupied(state2, center)[0])
     assert not bool(grid2.occupied(state2, corner)[0])
+
+
+def test_grid_warmup_all_occupied_and_no_decay():
+    """During the first ``warmup_updates`` grid updates everything tests
+    occupied and decay is suppressed, so a young model cannot cull true
+    surfaces it has not learned yet; after warmup, empty cells cull on the
+    usual ~log(threshold/init)/log(decay) schedule."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+
+    class Empty(nn.Module):
+        @nn.compact
+        def __call__(self, x, d):
+            return jnp.zeros(x.shape[:-1] + (1,)), jnp.zeros_like(x), {}
+
+    model = Empty()
+    params = model.init(
+        dict(params=jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    ).get("params", {})
+
+    grid = OccupancyGrid(
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8, decay=0.5,
+        warmup_updates=4,
+    )
+    state = grid.init()
+    pt = jnp.asarray([[0.1, 0.2, 0.3]])
+    key = jax.random.PRNGKey(1)
+    for i in range(4):
+        # In warmup: occupied regardless of density, and no decay erosion.
+        assert bool(grid.occupied(state, pt)[0]), f"update {i}"
+        key, sk = jax.random.split(key)
+        state = grid.update(state, model, params, sk)
+        np.testing.assert_allclose(
+            np.asarray(state.densities), 2.0 * grid.threshold
+        )
+    # Post-warmup: an all-empty model culls quickly (decay 0.5: one update
+    # takes 2x threshold below threshold).
+    assert bool(grid.occupied(state, pt)[0])  # still at init level
+    key, sk = jax.random.split(key)
+    state = grid.update(state, model, params, sk)
+    assert not bool(grid.occupied(state, pt)[0])
 
 
 def test_occupancy_renderer_finite_and_masked():
@@ -127,8 +175,12 @@ def test_occupancy_renderer_finite_and_masked():
             np.asarray(out["outputs"])[missed], 0.5, atol=1e-6
         )
 
-    # With an empty grid (all cells dead), everything composites to bg.
-    dead = grid.init().replace(densities=jnp.zeros_like(grid.init().densities))
+    # With an empty grid (all cells dead, past warmup), everything
+    # composites to bg.
+    dead = grid.init().replace(
+        densities=jnp.zeros_like(grid.init().densities),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
     out2, _ = renderer.render_rays(
         jax.random.PRNGKey(1), rays, params, jnp.asarray([0.5, 0.5, 0.5]), dead
     )
@@ -307,7 +359,10 @@ def test_pooled_render_matches_fixed_k():
     densities = jnp.asarray(
         (rng.rand(8**3) < 0.4).astype(np.float32)
     )  # 1.0 > threshold in ~40% of cells
-    grid_state = grid.init().replace(densities=densities)
+    grid_state = grid.init().replace(
+        densities=densities,
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),  # past warmup
+    )
 
     c = 24
     renderer = OccupancyRenderer(

@@ -39,7 +39,7 @@ def main():
     )
     grid_state = OccupancyGridState(
         densities=jnp.asarray(params["occupancy_densities"]),
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),  # trained grid: past warmup
     )
     occ_frac = float((np.asarray(grid_state.densities) > grid.threshold).mean())
     print(f"grid occupancy: {occ_frac:.3f}")

@@ -40,7 +40,8 @@ def main():
     else:
         densities = grid.init().densities
     grid_state = OccupancyGridState(
-        densities=densities, step=jnp.zeros((), jnp.int32)
+        densities=densities,
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),  # trained grid: past warmup
     )
     renderer = OccupancyRenderer(
         model=NeRFModel(),
