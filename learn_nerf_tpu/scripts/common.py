@@ -88,6 +88,14 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "started culling or the pool would overflow)",
     )
     parser.add_argument(
+        "--occ_warmup",
+        type=int,
+        default=16,
+        help="grid updates during which every cell tests occupied and "
+        "decay is suppressed (x update interval 16 = 256 unbiased steps; "
+        "guards young models from culling unlearned surfaces)",
+    )
+    parser.add_argument(
         "--occ_t_eps",
         type=float,
         default=0.0,
