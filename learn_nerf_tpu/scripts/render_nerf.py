@@ -71,6 +71,14 @@ class RenderSession:
         self.args = args
         self.images = []
 
+        # Multi-chip by default: frame tiles shard over the data axis when
+        # more than one device is visible (replicated params, no
+        # collectives in the hot path); single-chip stays a plain lax.map.
+        from ..parallel.mesh import DATA_AXIS, default_mesh
+
+        mesh = default_mesh()
+        self._mesh = mesh if mesh.shape[DATA_AXIS] > 1 else None
+
         if getattr(args, "occupancy", False):
             from ..acceleration import OccupancyGrid, OccupancyGridState
             from ..occ_render import OccupancyRenderer, render_frame_occupancy
@@ -109,6 +117,7 @@ class RenderSession:
                     tile_size=min(args.batch_size, rays.shape[0]),
                     budget_per_ray=getattr(args, "occ_budget_per_ray", None),
                     transmittance_eps=getattr(args, "occ_t_eps", 0.0),
+                    mesh=self._mesh,  # tiles shard over the data axis
                 )
                 return out["outputs"]
 
@@ -122,17 +131,33 @@ class RenderSession:
                 coarse_ts=args.coarse_samples,
                 fine_ts=args.fine_samples,
             )
-            self._render = jax.jit(
-                lambda key, rays: render_frame(
-                    self.renderer,
-                    key,
-                    rays,
-                    params["coarse"],
-                    params["fine"],
-                    self.background,
-                    tile_size=args.batch_size,
-                )["outputs"],
-            )
+            if self._mesh is not None:
+                from ..render import render_frame_sharded
+
+                self._render = jax.jit(
+                    lambda key, rays: render_frame_sharded(
+                        self.renderer,
+                        key,
+                        rays,
+                        params["coarse"],
+                        params["fine"],
+                        self.background,
+                        mesh=self._mesh,
+                        tile_size=args.batch_size,
+                    ),
+                )
+            else:
+                self._render = jax.jit(
+                    lambda key, rays: render_frame(
+                        self.renderer,
+                        key,
+                        rays,
+                        params["coarse"],
+                        params["fine"],
+                        self.background,
+                        tile_size=args.batch_size,
+                    )["outputs"],
+                )
 
     def render_view(self, view: CameraView, width=None, height=None) -> np.ndarray:
         """Render one view, optionally at an explicit resolution.
