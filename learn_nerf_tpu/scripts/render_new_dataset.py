@@ -55,6 +55,11 @@ def main(argv=None):
     bbox = dict(
         bbox_min=tuple(metadata.bbox_min), bbox_max=tuple(metadata.bbox_max)
     )
+    # Multi-chip by default (see scripts/render_nerf.py).
+    from ..parallel.mesh import DATA_AXIS, default_mesh
+
+    mesh = default_mesh()
+    mesh = mesh if mesh.shape[DATA_AXIS] > 1 else None
     if args.occupancy:
         from ..acceleration import OccupancyGrid, OccupancyGridState
         from ..occ_render import OccupancyRenderer, render_frame_occupancy
@@ -92,6 +97,7 @@ def main(argv=None):
                 budget_per_ray=getattr(args, "occ_budget_per_ray", None),
                 transmittance_eps=getattr(args, "occ_t_eps", 0.0),
                 include_depth_outputs=True,
+                mesh=mesh,
             )
 
         render = jax.jit(frame)
@@ -113,6 +119,7 @@ def main(argv=None):
                 background,
                 tile_size=args.batch_size,
                 include_depth_outputs=True,
+                mesh=mesh,
             )
         )
 
