@@ -74,6 +74,34 @@ def main():
     out = {k: round(float(v), 6) for k, v in sorted(values.items())}
     print(f"p{process_id}: METRICS {out}", flush=True)
 
+    # Occupancy fast path across processes: dense step 1, pooled step 2.
+    # The pooled budget must derive from the ASSEMBLED global batch
+    # (process_count * local rows), not the local slice.
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    occ = OccupancyTrainLoop(
+        NeRFModel(**model_kwargs),
+        init_rng=jax.random.PRNGKey(1),
+        lr=1e-3,
+        bbox_min=data.metadata.bbox_min,
+        bbox_max=data.metadata.bbox_max,
+        candidates=16,
+        samples=4,
+        grid_resolution=8,
+        update_interval=2,
+        update_cells=64,
+        pool_budget_per_ray=4.0,
+        pool_start_step=1,
+        mesh=mesh,
+    )
+    assert occ.shard_batch(next(it)).shape[0] == global_batch
+    base = jax.random.PRNGKey(11)
+    occ_values = None
+    for _ in range(2):
+        occ_values = occ.step_auto(base, next(it))
+    occ_out = {k: round(float(v), 6) for k, v in sorted(occ_values.items())}
+    print(f"p{process_id}: OCC_METRICS {occ_out}", flush=True)
+
 
 if __name__ == "__main__":
     main()

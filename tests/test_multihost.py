@@ -52,9 +52,13 @@ def test_two_process_data_parallel_training(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
 
-    # Replicated metrics must agree bit-for-bit across processes.
-    metrics = [re.search(r"METRICS (\{.*\})", out).group(1) for out in outs]
-    assert metrics[0] == metrics[1], f"{metrics[0]} != {metrics[1]}"
+    # Replicated metrics must agree bit-for-bit across processes — for the
+    # hierarchy loop and for the occupancy loop's dense + pooled steps.
+    for tag in ("METRICS", "OCC_METRICS"):
+        metrics = [
+            re.search(rf"{tag} (\{{.*\}})", out).group(1) for out in outs
+        ]
+        assert metrics[0] == metrics[1], f"{tag}: {metrics[0]} != {metrics[1]}"
 
     # Each host sharded a disjoint half of the views: 3 views x 16x16 rays.
     rows = [
