@@ -57,11 +57,16 @@ def main(argv=None):
     ).reshape(-1, 3)
     n = coords.shape[0]
     tile = min(args.batch_size, n)
-    num_tiles = -(-n // tile)
+
+    # Multi-chip by default: point tiles shard over the data axis.
+    from ..parallel.mesh import DATA_AXIS, default_mesh
+
+    mesh = default_mesh()
+    n_dev = mesh.shape[DATA_AXIS]
+    num_tiles = -(-n // (n_dev * tile)) * n_dev
     coords_p = np.pad(coords, ((0, num_tiles * tile - n), (0, 0)))
 
-    @jax.jit
-    def occupancy(tiles):
+    def scan_tiles(tiles):
         def one(pts):
             density, _, _ = fine.apply(
                 dict(params=params), pts, jnp.zeros_like(pts)
@@ -69,6 +74,18 @@ def main(argv=None):
             return 1.0 - jnp.exp(-density[..., 0])
 
         return jax.lax.map(one, tiles)
+
+    if n_dev > 1:
+        from jax.sharding import PartitionSpec as P
+
+        occupancy = jax.jit(
+            jax.shard_map(
+                scan_tiles, mesh=mesh, in_specs=P(DATA_AXIS),
+                out_specs=P(DATA_AXIS),
+            )
+        )
+    else:
+        occupancy = jax.jit(scan_tiles)
 
     print("computing densities...")
     occ = np.asarray(occupancy(coords_p.reshape(num_tiles, tile, 3))).reshape(-1)[:n]

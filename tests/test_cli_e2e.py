@@ -135,6 +135,50 @@ def test_spin_and_pan_orbits(tiny_dataset, tmp_path):
     assert np.asarray(Image.open(pan_png)).shape == (8, 24, 3)
 
 
+def test_marching_cubes_cli(tmp_path):
+    """The mesh-extraction CLI sweeps densities (sharded over the test
+    mesh's 8 devices), extracts a surface, and writes OBJ and STL."""
+    import jax
+    import json
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.scripts import marching_cubes
+    from learn_nerf_tpu.train import TrainLoop
+
+    model = NeRFModel()
+    loop = TrainLoop(
+        model, model, init_rng=jax.random.PRNGKey(0), lr=1e-3,
+        coarse_ts=4, fine_ts=4, bbox_min=(-0.7,) * 3, bbox_max=(0.7,) * 3,
+    )
+    pkl = str(tmp_path / "nerf.pkl")
+    loop.save(pkl)
+    meta = str(tmp_path / "metadata.json")
+    with open(meta, "w") as f:
+        json.dump({"min": [-0.7] * 3, "max": [0.7] * 3}, f)
+
+    # An untrained softplus MLP has near-uniform low density; threshold
+    # low enough that a surface exists somewhere in the grid.
+    obj = str(tmp_path / "mesh.obj")
+    marching_cubes.main(
+        ["--resolution", "12", "--batch_size", "64", "--threshold", "0.01",
+         "--model_path", pkl, meta, obj]
+    )
+    text = open(obj).read()
+    assert text.count("\nf ") > 0 and text.startswith("v ")
+
+    stl = str(tmp_path / "mesh.stl")
+    marching_cubes.main(
+        ["--resolution", "12", "--batch_size", "64", "--threshold", "0.01",
+         "--model_path", pkl, meta, stl]
+    )
+    import struct
+
+    with open(stl, "rb") as f:
+        f.seek(80)
+        (n_tris,) = struct.unpack("<I", f.read(4))
+    assert n_tris > 0
+
+
 def test_orbit_geometry_contracts():
     """spin_views yaws in place; orbit_views circles the bbox center at
     distance * |diag| looking inward with orthonormal frames."""
