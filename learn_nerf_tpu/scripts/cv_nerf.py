@@ -91,20 +91,23 @@ def main(argv=None):
         )
         key = global_key
         with tempfile.TemporaryDirectory() as tmp_dir:
-            data_key, key = jax.random.split(key)
+            data_key, base_key, key = jax.random.split(key, 3)
             batch_iter = train_data.iterate_batches(
                 tmp_dir, int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
                 args.batch_size,
             )
+            from ..data.prefetch import prefetch_to_device
             from ..utils.progress import progress
 
+            # Hot loop like train_nerf: in-jit per-step keys + double-
+            # buffered uploads (one host dispatch per step).
+            batches = prefetch_to_device(batch_iter, loop.shard_batch)
             for step, batch in enumerate(
-                progress(batch_iter, desc=f"fold {fold}", total=args.train_iters)
+                progress(batches, desc=f"fold {fold}", total=args.train_iters)
             ):
                 if step >= args.train_iters:
                     break
-                step_key, key = jax.random.split(key)
-                loop.step(step_key, batch)
+                loop.step_auto(base_key, batch)
         for view, loss in zip(
             valid_data.views,
             validation_losses(key, loop, valid_data, args.batch_size),

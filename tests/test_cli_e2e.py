@@ -135,6 +135,33 @@ def test_spin_and_pan_orbits(tiny_dataset, tmp_path):
     assert np.asarray(Image.open(pan_png)).shape == (8, 24, 3)
 
 
+def test_cv_nerf_cli(tiny_dataset, capsys):
+    """K-fold pose validation trains per fold (hot-loop path) and prints a
+    loss line per held-out view."""
+    from learn_nerf_tpu.scripts import cv_nerf
+
+    cv_nerf.main(
+        [
+            "--seed", "0",
+            "--lr", "1e-3",
+            "--batch_size", "128",
+            "--folds", "2",
+            "--coarse_samples", "4",
+            "--fine_samples", "4",
+            "--train_iters", "3",
+            tiny_dataset,
+        ]
+    )
+    out = capsys.readouterr().out
+    # 6 views over 2 folds -> one "loss path" line per view.
+    loss_lines = [
+        ln for ln in out.splitlines() if ln.rstrip().endswith(".png")
+    ]
+    assert len(loss_lines) == 6
+    for ln in loss_lines:
+        assert np.isfinite(float(ln.split()[0]))
+
+
 def test_marching_cubes_cli(tmp_path):
     """The mesh-extraction CLI sweeps densities (sharded over the test
     mesh's 8 devices), extracts a surface, and writes OBJ and STL."""
