@@ -1,0 +1,73 @@
+"""Summarize matched-PSNR benchmark runs into a markdown table.
+
+Parses the training logs and eval_psnr outputs produced by the runs/
+measurement queue (reference vs this framework on the same scene and step
+budget, BASELINE.md configs 2-3) and prints the results table.  Steady-
+state rays/sec is the median over the last 80% of logged steps (skips
+compile + shuffle warmup); PSNR comes from the ``mean_psnr=`` summary line.
+
+Usage: python tools/summarize_runs.py [runs_dir]
+"""
+
+import re
+import statistics
+import sys
+
+
+def train_stats(path):
+    """(median steady rays/sec, final fine loss) from a train log."""
+    rates, fines = [], []
+    try:
+        with open(path) as f:
+            for ln in f:
+                m = re.search(r"fine=([\d.e+-]+)", ln)
+                r = re.search(r"rays_per_sec=([\d.e+-]+)", ln)
+                if m and r:
+                    fines.append(float(m.group(1)))
+                    rates.append(float(r.group(1)))
+    except FileNotFoundError:
+        return None, None
+    if not rates:
+        return None, None
+    steady = rates[len(rates) // 5 :]
+    return statistics.median(steady), statistics.median(fines[-10:])
+
+
+def mean_psnr(path):
+    try:
+        with open(path) as f:
+            for ln in f:
+                m = re.match(r"mean_psnr=([\d.]+)", ln)
+                if m:
+                    return float(m.group(1))
+    except FileNotFoundError:
+        pass
+    return None
+
+
+def fmt(x, spec=",.0f"):
+    return format(x, spec) if x is not None else "—"
+
+
+def main():
+    d = sys.argv[1] if len(sys.argv) > 1 else "runs"
+    rows = [
+        ("reference vanilla (dense 64c+192f)", "ref_vanilla", "eval_ref_vanilla"),
+        ("ours vanilla + occupancy", "ours_vanilla", "eval_ours_vanilla"),
+        ("reference Instant-NGP (dense 64c+192f)", "ref_ngp", "eval_ref_ngp"),
+        ("ours Instant-NGP + occupancy", "ours_ngp", "eval_ours_ngp"),
+        ("ours Instant-NGP + occupancy, pooled train", "ours_ngp_pooled", None),
+    ]
+    print("| config | rays/sec (end-to-end) | final fine MSE | test PSNR |")
+    print("|---|---|---|---|")
+    for label, train, ev in rows:
+        rate, fine = train_stats(f"{d}/{train}.log")
+        psnr = mean_psnr(f"{d}/{ev}.log") if ev else None
+        print(
+            f"| {label} | {fmt(rate)} | {fmt(fine, '.5f')} | "
+            f"{fmt(psnr, '.2f')} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
