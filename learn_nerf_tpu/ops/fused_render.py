@@ -99,7 +99,16 @@ def _kernel(
     # Per-ray transmittance scan and composite: rows are ray-major, so the
     # [M, 1] density column folds to [R, K] with samples on lanes.
     sig_dt = density.reshape(rays_per_tile, samples) * deltas_ref[:]
-    acc = jnp.cumsum(sig_dt, axis=1)
+    # Inclusive cumsum over lanes as a [K, K] lower-triangular matmul:
+    # Mosaic has no cumsum lowering, and at K<=32 the matmul is free on
+    # the MXU.  HIGHEST precision — transmittances must not round to bf16.
+    tri = jnp.tril(jnp.ones((samples, samples), jnp.float32))
+    acc = jnp.dot(
+        sig_dt,
+        tri.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     survive = jnp.exp(-(acc - sig_dt))
     weights = survive * (1.0 - jnp.exp(-sig_dt))  # [R, K]
     bg_weight = jnp.exp(-acc[:, -1:])  # [R, 1]

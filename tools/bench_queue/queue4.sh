@@ -25,4 +25,6 @@ timeout 2400 python -m learn_nerf_tpu.scripts.train_nerf --batch_size 4096 --lr 
 sleep 60
 timeout 1800 python -m learn_nerf_tpu.scripts.eval_psnr --batch_size 4096 --occupancy \
   --model_path runs/ours_vanilla_long.pkl runs/scene_test > runs/eval_ours_vanilla_long.log 2>&1
+timeout 1800 python tools/exp_fused_render.py runs/ours_vanilla.pkl \
+  runs/scene_test/0000.json runs/scene_train/metadata.json 800 24 > runs/exp_fused2.log 2>&1
 echo QUEUE4 DONE
