@@ -242,3 +242,20 @@ def test_orbit_geometry_contracts():
         # orthonormal frame
         for a, b in ((x, y), (x, d), (y, d)):
             assert abs(np.dot(a, b)) < 1e-9
+
+
+def test_plot_log_cli(tmp_path):
+    """plot_log parses `step k=v` lines and saves a figure headlessly."""
+    pytest.importorskip("matplotlib")
+    from learn_nerf_tpu.scripts import plot_log
+
+    log = tmp_path / "train.log"
+    log.write_text(
+        "\n".join(
+            f"step {i}: coarse={1.0/(i+1):.4f} fine={0.5/(i+1):.4f}"
+            for i in range(20)
+        )
+    )
+    out = str(tmp_path / "plot.png")
+    plot_log.main(["--field", "fine", "--smoothing", "2", "--output", out, str(log)])
+    assert os.path.getsize(out) > 0
