@@ -7,8 +7,10 @@ A from-scratch re-design of the capabilities of unixpickle/learn-nerf
   (the reference orchestrates per-ray ``vmap`` + reshape-to-flat pipelines),
 * ray batches shard over a ``jax.sharding.Mesh`` ``data`` axis; gradients are
   combined by XLA collectives inserted by GSPMD,
-* the Instant-NGP hash encoding and the fused ray renderer have Pallas TPU
-  kernel implementations (``learn_nerf_tpu.ops``),
+* the hot paths are deliberately plain XLA: every Pallas reformulation was
+  measured against it and lost or tied (gather/scatter are count-bound;
+  the fused render-chain kernel lives on as a documented recipe in
+  ``tools/pallas_recipe`` with the measurements in docs/DESIGN.md §3),
 * checkpointing keeps the reference's pickle contract
   (``{"coarse", "fine", "background"}``, reference ``train.py:62-76``) while
   adding full train-state checkpoints.

@@ -8,7 +8,7 @@ def test_fused_matches_flax():
     import jax.numpy as jnp
 
     from learn_nerf_tpu.models import NeRFModel
-    from learn_nerf_tpu.ops.fused_mlp import fused_nerf_forward, pack_vanilla_params
+    from tools.pallas_recipe.fused_mlp import fused_nerf_forward, pack_vanilla_params
 
     model = NeRFModel()
     rng = np.random.RandomState(0)
@@ -37,7 +37,7 @@ def test_fused_leading_dims_and_padding():
     import jax.numpy as jnp
 
     from learn_nerf_tpu.models import NeRFModel
-    from learn_nerf_tpu.ops.fused_mlp import fused_nerf_forward, pack_vanilla_params
+    from tools.pallas_recipe.fused_mlp import fused_nerf_forward, pack_vanilla_params
 
     model = NeRFModel(input_layers=2, mid_layers=2, hidden_dim=64, color_layer_dim=32)
     rng = np.random.RandomState(1)

@@ -41,7 +41,7 @@ def test_fused_render_matches_xla_occupancy_path():
     import jax
     import jax.numpy as jnp
 
-    from learn_nerf_tpu.ops.fused_render import (
+    from tools.pallas_recipe.fused_render import (
         fused_render_occupancy,
         pack_vanilla_params,
     )
@@ -77,3 +77,41 @@ def test_fused_render_matches_xla_occupancy_path():
             np.broadcast_to(np.asarray(background), (missed.sum(), 3)),
             atol=1e-6,
         )
+
+
+def test_fused_render_frame_tiles_and_pads():
+    """The tiled whole-frame driver matches per-batch fused output across
+    tile boundaries and handles a ray count that is not a tile multiple."""
+    import jax
+    import jax.numpy as jnp
+
+    from tools.pallas_recipe.fused_render import (
+        fused_render_frame,
+        fused_render_occupancy,
+        pack_vanilla_params,
+    )
+
+    model, params, renderer, grid_state, rays = _setup(n=70)
+    background = jnp.asarray([0.2, 0.1, -0.3])
+    key = jax.random.PRNGKey(5)
+    packed = pack_vanilla_params(params)
+
+    frame = fused_render_frame(
+        renderer, packed, key, rays, background, grid_state,
+        tile_size=32, interpret=True,
+    )
+    assert frame.shape == (70, 3)
+
+    # Same keys per tile as the driver uses -> per-tile outputs must match.
+    keys = jax.random.split(key, 3)
+    rays_p = jnp.pad(rays, ((0, 96 - 70), (0, 0), (0, 0)))
+    expect = []
+    for i in range(3):
+        out = fused_render_occupancy(
+            renderer, packed, keys[i], rays_p[32 * i : 32 * (i + 1)],
+            background, grid_state, interpret=True,
+        )["outputs"]
+        expect.append(np.asarray(out))
+    np.testing.assert_allclose(
+        np.asarray(frame), np.concatenate(expect)[:70], rtol=1e-5, atol=1e-5
+    )

@@ -23,8 +23,8 @@ def main():
     from learn_nerf_tpu.data.dataset import ModelMetadata
     from learn_nerf_tpu.models import NeRFModel
     from learn_nerf_tpu.occ_render import OccupancyRenderer, render_frame_occupancy
-    from learn_nerf_tpu.ops.fused_render import (
-        fused_render_occupancy,
+    from tools.pallas_recipe.fused_render import (
+        fused_render_frame,
         pack_vanilla_params,
     )
 
@@ -65,9 +65,9 @@ def main():
 
     @jax.jit
     def fused_frame(key, rays):
-        return fused_render_occupancy(
-            renderer, packed, key, rays, bg, grid_state
-        )["outputs"]
+        return fused_render_frame(
+            renderer, packed, key, rays, bg, grid_state, tile_size=8192
+        )
 
     key = jax.random.PRNGKey(0)
     for name, fn in (("xla", xla_frame), ("fused", fused_frame)):

@@ -11,10 +11,13 @@ background weight) to HBM.  The XLA path materializes the ``[N*K, 256]``
 activations of every layer plus ``[N, K]`` densities / ``[N, K, 3]`` rgbs
 in HBM; here nothing per-sample ever leaves the chip.
 
-Used by the vanilla-model occupancy inference path (the reference has no
-counterpart; its renderer is a chunked host loop, ``learn_nerf/scripts/
-render_nerf.py:88-92``).  Weights ride in VMEM across the whole grid
-(~1.2 MB bf16); matmuls run on the MXU in bf16 with f32 accumulation.
+RETIRED from the production tree (kept as the in-repo Pallas recipe):
+measured on the 800x800 compound-scene frame (TPU v5e, K=24), the fused
+chain renders in 2.07 s vs the plain-XLA occupancy path's 1.53 s at
+identical outputs — XLA's own pipelining of sampling + MLP + composite
+beats the hand-fused kernel once the whole frame is tiled.  Weights ride
+in VMEM across the whole grid (~1.2 MB bf16); matmuls run on the MXU in
+bf16 with f32 accumulation.
 
 Numerics match ``models.vanilla.NeRFModel(compute_dtype="bfloat16")`` +
 ``ops.volume.termination_weights`` + ``composite`` (tests/test_fused_render.py).
@@ -29,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import pack_vanilla_params  # noqa: F401  (re-exported)
+from tools.pallas_recipe.fused_mlp import pack_vanilla_params  # noqa: F401  (re-exported)
 
 Array = jnp.ndarray
 
@@ -186,6 +189,44 @@ def fused_render_tiles(
     return out[:n]
 
 
+def fused_render_frame(
+    renderer,
+    packed: Tuple[Array, ...],
+    key: jax.Array,
+    rays: Array,
+    background: Array,
+    grid_state,
+    tile_size: int = 8192,
+    interpret: bool = False,
+) -> Array:
+    """Whole-frame fused rendering, tiled with ``lax.map``.
+
+    Bounding the per-kernel ray count matters beyond VMEM: the XLA-side
+    glue around the kernel builds ``[N, K, 3]`` sample arrays whose minor
+    dim pads 3 -> 128 lanes (42x HBM expansion) — at whole-frame N that
+    OOMs the chip, per-tile it is an ephemeral ~100 MB.
+
+    :param rays: ``[M, 2, 3]`` rays in raster order.
+    :return: ``[M, 3]`` colors.
+    """
+    m = rays.shape[0]
+    num_tiles = -(-m // tile_size)
+    padded = num_tiles * tile_size
+    rays_p = jnp.pad(rays, ((0, padded - m), (0, 0), (0, 0)))
+    rays_t = rays_p.reshape(num_tiles, tile_size, 2, 3)
+    keys = jax.random.split(key, num_tiles)
+
+    def tile_fn(args):
+        k, r = args
+        return fused_render_occupancy(
+            renderer, packed, k, r, background, grid_state,
+            interpret=interpret,
+        )["outputs"]
+
+    tiled = jax.lax.map(tile_fn, (keys, rays_t))
+    return tiled.reshape(padded, 3)[:m]
+
+
 def fused_render_occupancy(
     renderer,
     packed: Tuple[Array, ...],
@@ -201,9 +242,9 @@ def fused_render_occupancy(
     (vanilla model only): sampling/culling stay in XLA, the per-sample
     pipeline runs fused.
     """
-    from ..acceleration import compact_occupied_strided
-    from ..ops.geometry import ray_bbox_range
-    from ..ops.sampling import stratified_ts
+    from learn_nerf_tpu.acceleration import compact_occupied_strided
+    from learn_nerf_tpu.ops.geometry import ray_bbox_range
+    from learn_nerf_tpu.ops.sampling import stratified_ts
 
     bbox_min = jnp.asarray(renderer.bbox_min, dtype=jnp.float32)
     bbox_max = jnp.asarray(renderer.bbox_max, dtype=jnp.float32)
