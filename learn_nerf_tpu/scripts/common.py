@@ -74,11 +74,12 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument(
         "--occ_train_budget",
-        type=float,
+        type=lambda v: v if v == "auto" else float(v),
         default=None,
         help="training: after --occ_train_budget_start steps, pool each "
         "batch's surviving samples into batch * this many slots (the field "
-        "model runs on actual survivor counts, not N*K padding)",
+        "model runs on actual survivor counts, not N*K padding); 'auto' "
+        "sizes the pool from the grid's occupancy at switchover",
     )
     parser.add_argument(
         "--occ_train_budget_start",

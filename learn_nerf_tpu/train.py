@@ -382,6 +382,14 @@ class OccupancyTrainLoop:
     near ``N * scene_mean``, and the field model stops paying for ``[N, K]``
     padding.  Before that point (grid fully occupied) pooling would
     overflow any useful budget, so the dense step runs first.
+
+    ``pool_budget_per_ray="auto"`` sizes the pool from the grid itself at
+    the switchover step: one host fetch of the grid's occupied fraction
+    (once, outside the hot loop), then ``per_ray = min(frac * candidates,
+    samples) * 1.3`` — no per-scene tuning.  The 30% margin covers rays
+    whose occupied span is denser than the grid mean; overflow degrades
+    gracefully (dense rays lose tail samples, same truncation as the
+    fixed-K cap).
     """
 
     def __init__(
@@ -537,6 +545,18 @@ class OccupancyTrainLoop:
 
     shard_batch = TrainLoop.shard_batch
 
+    def _resolve_pool_budget(self) -> float:
+        """Per-ray pool budget; ``"auto"`` measures the grid ONCE at the
+        switchover step (a single host fetch, outside the hot loop) and
+        pins the result for the rest of the run."""
+        if self.pool_budget_per_ray == "auto":
+            frac = float(
+                jnp.mean(self.grid_state.densities > self.grid.threshold)
+            )
+            per_ray = min(frac * self.renderer.candidates, float(self.renderer.samples))
+            self.pool_budget_per_ray = max(per_ray * 1.3, 1.0)
+        return self.pool_budget_per_ray
+
     def _dispatch_step(self, batch, refresh_grid, dense, pooled):
         """Shared per-step driver for :meth:`step` / :meth:`step_auto`:
         grid-refresh cadence on the host-side counter (reading
@@ -552,7 +572,7 @@ class OccupancyTrainLoop:
             self.pool_budget_per_ray is not None
             and self._host_step > self.pool_start_step
         ):
-            budget = int(batch.shape[0] * self.pool_budget_per_ray)
+            budget = int(batch.shape[0] * self._resolve_pool_budget())
             self.state, values = pooled(batch, budget)
         else:
             self.state, values = dense(batch)

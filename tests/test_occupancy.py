@@ -770,3 +770,58 @@ def test_occupancy_step_auto_pooled_switch():
         vals = loop.step_auto(base, batch)
     for v in vals.values():
         assert np.isfinite(float(v))
+
+
+def test_pooled_training_auto_budget():
+    """pool_budget_per_ray="auto" resolves once at switchover from the
+    grid's occupied fraction: min(frac * C, K) * 1.3, floor 1.0."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    loop = OccupancyTrainLoop(
+        NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1),
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-2,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=16,
+        samples=4,
+        grid_resolution=8,
+        update_interval=4,
+        update_cells=64,
+        pool_budget_per_ray="auto",
+        pool_start_step=1,
+    )
+    # Force a 25%-occupied, past-warmup grid so the switchover measures it.
+    n_cells = 8**3
+    densities = jnp.zeros(n_cells).at[: n_cells // 4].set(1.0)
+    loop.grid_state = loop.grid_state.replace(
+        densities=densities,
+        step=jnp.asarray(loop.grid.warmup_updates, jnp.int32),
+    )
+    # Advance the host counter so no grid refresh overwrites the forced
+    # pattern before the switchover measures it (refreshes run when
+    # host_step % update_interval == 0).
+    loop._host_step = 1
+
+    rng = np.random.RandomState(7)
+    batch = np.stack(
+        [
+            rng.randn(32, 3).astype(np.float32) * 2,
+            rng.randn(32, 3).astype(np.float32),
+            rng.rand(32, 3).astype(np.float32) * 2 - 1,
+        ],
+        axis=1,
+    )
+    batch[:, 1] /= np.linalg.norm(batch[:, 1], axis=-1, keepdims=True)
+    base = jax.random.PRNGKey(1)
+
+    assert loop.pool_budget_per_ray == "auto"
+    vals = loop.step_auto(base, batch)  # host_step -> 2 > start: pooled
+    # frac=0.25, C=16 -> 4 = K; * 1.3 margin.
+    assert loop.pool_budget_per_ray == pytest.approx(4.0 * 1.3)
+    for v in vals.values():
+        assert np.isfinite(float(v))
