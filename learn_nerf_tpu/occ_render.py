@@ -110,6 +110,42 @@ class OccupancyRenderer:
             aux_means,
         )
 
+    def mean_sample_demand(
+        self,
+        key: jax.Array,
+        rays: Array,
+        grid_state: OccupancyGridState,
+        transmittance_eps: float = 0.0,
+    ) -> Array:
+        """Mean per-ray survivor count a pooled pass would see.
+
+        Mirrors :meth:`render_rays_pooled`'s candidate selection exactly
+        (occupancy test incl. warmup, optional transmittance prune, bbox
+        mask, per-ray cap at K) without touching the field model — used to
+        size the ``"auto"`` training pool budget from a real batch.
+        """
+        bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
+        bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
+        origins, dirs = rays[:, 0], rays[:, 1]
+        t_min, t_max, mask = ray_bbox_range(
+            origins, dirs, bbox_min, bbox_max, self.min_t_range
+        )
+        cand_ts = stratified_ts(key, t_min, t_max, self.candidates)
+        cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
+        cell_idx = self.grid.cell_indices(cand_pts)
+        d_grid = jax.lax.stop_gradient(grid_state.densities)[cell_idx]
+        occ = (d_grid > self.grid.threshold) | (
+            grid_state.step < self.grid.warmup_updates
+        )
+        if transmittance_eps > 0.0:
+            dt = (t_max - t_min)[:, None] / self.candidates
+            approx = jnp.where(occ, d_grid, 0.0) * dt
+            acc_prev = jnp.cumsum(approx, axis=1) - approx
+            occ = occ & (jnp.exp(-acc_prev) > transmittance_eps)
+        occ = occ & mask[:, None]
+        c = jnp.sum(occ.astype(jnp.float32), axis=1)
+        return jnp.mean(jnp.minimum(c, float(self.samples)))
+
     def render_rays_pooled(
         self,
         key: jax.Array,
@@ -138,9 +174,10 @@ class OccupancyRenderer:
            survivors into one ``[budget]`` pool (cumsum slot assignment
            + scatter) so the field model runs on the tile's *actual*
            survivor count, not the ``N * K`` worst case.  Size the
-           budget from measured average occupancy; on overflow dense
-           rays lose tail samples past the budget, bounded by the
-           per-ray cap,
+           budget from measured average occupancy; on overflow the
+           trailing rays of the tile lose their samples (slots assign
+           ray-major) — the interleaved frame tiling spreads those
+           across the image,
         3. composites exactly per ray with segmented scans
            (``segment_sum`` over the ray-major pool).
 
@@ -177,10 +214,9 @@ class OccupancyRenderer:
             occ = occ & (jnp.exp(-acc_prev) > transmittance_eps)
         occ = occ & mask[:, None]
 
-        # Per-ray cap first (same strided-K semantics as render_rays): if
-        # the pool then overflows, dense rays lose tail samples past K — the
-        # same truncation the fixed-K path applies — instead of late rays
-        # losing everything.
+        # Per-ray cap first (same strided-K semantics as render_rays),
+        # bounding any one ray's pool appetite at K; if the pool still
+        # overflows, the trailing rays of the tile drop (ray-major slots).
         sel_ts, sel_mask, delta_scale = compact_occupied_strided(
             cand_ts, occ, self.samples
         )

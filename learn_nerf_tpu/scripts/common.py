@@ -89,6 +89,17 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "started culling or the pool would overflow)",
     )
     parser.add_argument(
+        "--occ_train_t_eps",
+        type=float,
+        default=0.0,
+        help="pooled training only: prune candidates whose grid-estimated "
+        "transmittance falls below this before pooling. MEASURED HARMFUL "
+        "while the grid is still training (fog feedback: the EMA "
+        "overestimates young-model fog, pruning robs the surface behind "
+        "it of gradient — loss diverged 10x on the compound scene); keep "
+        "0 unless resuming with a converged grid",
+    )
+    parser.add_argument(
         "--occ_warmup",
         type=int,
         default=16,

@@ -120,6 +120,7 @@ def main(argv=None):
             density_penalty_batch_size=args.density_penalty_batch_size,
             pool_budget_per_ray=args.occ_train_budget,
             pool_start_step=args.occ_train_budget_start,
+            pool_t_eps=args.occ_train_t_eps,
             grid_warmup_updates=args.occ_warmup,
             **train_kwargs,
         )

@@ -334,6 +334,7 @@ def compute_losses_occupancy_pooled(
     budget: int,
     density_penalty: Optional[float] = None,
     density_penalty_batch_size: int = 128,
+    transmittance_eps: float = 0.0,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Pooled-compaction variant of :func:`compute_losses_occupancy`.
 
@@ -341,11 +342,15 @@ def compute_losses_occupancy_pooled(
     ``[budget]`` pool) instead of ``[N, K]``; training batches are random
     rays, so per-batch demand concentrates at the scene mean and a budget
     of mean + margin drops nothing.  Same loss contract.
+    ``transmittance_eps`` > 0 additionally prunes candidates the grid's
+    own EMA densities mark as occluded before they reach the pool —
+    their compositing weights (and gradients) are ~0 anyway, and on
+    scenes whose grid stays fat it is what lets a small budget suffice.
     """
     key, density_key = jax.random.split(key)
     out = renderer.render_rays_pooled(
         key, batch[:, :2], params["fine"], params["background"], grid_state,
-        budget=budget,
+        budget=budget, transmittance_eps=transmittance_eps,
     )
     targets = batch[:, 2]
     fine_loss = jnp.mean((out["outputs"] - targets) ** 2)
@@ -383,13 +388,21 @@ class OccupancyTrainLoop:
     padding.  Before that point (grid fully occupied) pooling would
     overflow any useful budget, so the dense step runs first.
 
-    ``pool_budget_per_ray="auto"`` sizes the pool from the grid itself at
-    the switchover step: one host fetch of the grid's occupied fraction
-    (once, outside the hot loop), then ``per_ray = min(frac * candidates,
-    samples) * 1.3`` — no per-scene tuning.  The 30% margin covers rays
-    whose occupied span is denser than the grid mean; overflow degrades
-    gracefully (dense rays lose tail samples, same truncation as the
-    fixed-K cap).
+    ``pool_budget_per_ray="auto"`` sizes the pool from measured demand —
+    no per-scene tuning: every 256 steps one host fetch measures the mean
+    per-ray survivor count of a real batch (the exact selection the
+    pooled pass applies, including the ``pool_t_eps`` transmittance
+    prune) and maps ``demand * 1.3`` up to a quantized bucket, so the
+    budget tracks the grid's cull-in with at most one recompile per
+    crossed bucket (the budget only decreases).  ``pool_t_eps`` also prunes
+    grid-estimated-occluded candidates first, but is MEASURED HARMFUL
+    while the grid is still training (the EMA overestimates young-model
+    fog; pruning behind it starves the true surface of gradient — loss
+    diverged 10x on the compound scene, docs/DESIGN.md section 3), so it
+    defaults off.  On pool overflow the trailing rays of the batch lose
+    their samples (slots assign ray-major); random batches spread that
+    loss over different rays every step, which measured harmless at
+    budget 12 vs demand ~32 (BASELINE.md).
     """
 
     def __init__(
@@ -413,6 +426,7 @@ class OccupancyTrainLoop:
         density_penalty_batch_size: int = 128,
         pool_budget_per_ray: Optional[float] = None,
         pool_start_step: int = 512,
+        pool_t_eps: float = 0.0,
         grid_warmup_updates: int = 16,
         mesh: Optional[Mesh] = None,
     ):
@@ -457,6 +471,10 @@ class OccupancyTrainLoop:
         )
         self._batch_sharding = batch_sharding(self.mesh)
         self._host_step = 0
+        # "auto" pool-budget state (see _resolve_pool_budget); reset on
+        # construction so a resumed loop re-measures the loaded grid.
+        self._auto_per_ray = None
+        self._auto_resolved_at = 0
 
         loss_fn = partial(
             compute_losses_occupancy,
@@ -492,6 +510,7 @@ class OccupancyTrainLoop:
 
         self.pool_budget_per_ray = pool_budget_per_ray
         self.pool_start_step = pool_start_step
+        self.pool_t_eps = pool_t_eps
 
         def pooled_body(state, key, batch, grid_state, budget):
             pooled_loss = partial(
@@ -501,6 +520,7 @@ class OccupancyTrainLoop:
                 budget=budget,
                 density_penalty=density_penalty,
                 density_penalty_batch_size=density_penalty_batch_size,
+                transmittance_eps=pool_t_eps,
             )
             grads, values = jax.grad(
                 lambda p: pooled_loss(
@@ -545,17 +565,52 @@ class OccupancyTrainLoop:
 
     shard_batch = TrainLoop.shard_batch
 
-    def _resolve_pool_budget(self) -> float:
-        """Per-ray pool budget; ``"auto"`` measures the grid ONCE at the
-        switchover step (a single host fetch, outside the hot loop) and
-        pins the result for the rest of the run."""
-        if self.pool_budget_per_ray == "auto":
-            frac = float(
-                jnp.mean(self.grid_state.densities > self.grid.threshold)
+    # Quantized per-ray budgets for "auto" mode: re-resolving returns one
+    # of these, so budget changes (= recompiles of the pooled step) are
+    # bounded by the few buckets the grid's cull-in crosses.
+    _AUTO_BUDGET_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+    _AUTO_REBUDGET_INTERVAL = 256  # host steps between grid re-measures
+
+    def _resolve_pool_budget(self, batch) -> float:
+        """Per-ray pool budget.  ``"auto"`` measures the actual mean
+        survivor demand of a real (sharded) ray batch — the exact
+        candidate selection the pooled pass applies, including the
+        ``pool_t_eps`` transmittance prune — every
+        ``_AUTO_REBUDGET_INTERVAL`` steps (one host fetch each) and maps
+        ``demand * 1.3`` up to the next bucket; the budget only ever
+        DECREASES (culling is the trend), so the pooled step recompiles
+        at most once per crossed bucket."""
+        if self.pool_budget_per_ray != "auto":
+            return self.pool_budget_per_ray
+        if (
+            self._auto_per_ray is None
+            or self._host_step - self._auto_resolved_at
+            >= self._AUTO_REBUDGET_INTERVAL
+        ):
+            if not hasattr(self, "_demand_fn"):
+                eps = self.pool_t_eps
+                self._demand_fn = jax.jit(
+                    lambda key, rays, gs: self.renderer.mean_sample_demand(
+                        key, rays, gs, transmittance_eps=eps
+                    )
+                )
+            demand = float(
+                self._demand_fn(
+                    jax.random.fold_in(jax.random.PRNGKey(17), self._host_step),
+                    batch[:, :2],
+                    self.grid_state,
+                )
             )
-            per_ray = min(frac * self.renderer.candidates, float(self.renderer.samples))
-            self.pool_budget_per_ray = max(per_ray * 1.3, 1.0)
-        return self.pool_budget_per_ray
+            per_ray = min(demand * 1.3, float(self.renderer.samples))
+            bucket = next(
+                (b for b in self._AUTO_BUDGET_BUCKETS if b >= per_ray),
+                self._AUTO_BUDGET_BUCKETS[-1],
+            )
+            bucket = min(bucket, self.renderer.samples)
+            if self._auto_per_ray is None or bucket < self._auto_per_ray:
+                self._auto_per_ray = bucket
+            self._auto_resolved_at = self._host_step
+        return self._auto_per_ray
 
     def _dispatch_step(self, batch, refresh_grid, dense, pooled):
         """Shared per-step driver for :meth:`step` / :meth:`step_auto`:
@@ -572,7 +627,7 @@ class OccupancyTrainLoop:
             self.pool_budget_per_ray is not None
             and self._host_step > self.pool_start_step
         ):
-            budget = int(batch.shape[0] * self._resolve_pool_budget())
+            budget = int(batch.shape[0] * self._resolve_pool_budget(batch))
             self.state, values = pooled(batch, budget)
         else:
             self.state, values = dense(batch)

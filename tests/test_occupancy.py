@@ -821,7 +821,39 @@ def test_pooled_training_auto_budget():
 
     assert loop.pool_budget_per_ray == "auto"
     vals = loop.step_auto(base, batch)  # host_step -> 2 > start: pooled
-    # frac=0.25, C=16 -> 4 = K; * 1.3 margin.
-    assert loop.pool_budget_per_ray == pytest.approx(4.0 * 1.3)
+    # The budget resolves from the batch's measured survivor demand,
+    # bucketed, capped at K=4; the config value stays symbolic.
+    assert loop.pool_budget_per_ray == "auto"
+    assert loop._auto_per_ray in (1, 2, 3, 4)
+
+    # The demand estimator matches the pooled pass's selection: with the
+    # whole grid dead (past warmup), demand is zero.
+    import jax.numpy as jnp2
+
+    dead = loop.grid_state.replace(
+        densities=jnp.zeros_like(loop.grid_state.densities)
+    )
+    demand = float(
+        loop.renderer.mean_sample_demand(
+            jax.random.PRNGKey(0), jnp.asarray(batch[:, :2]), dead
+        )
+    )
+    assert demand == 0.0
+    # A transmittance prune can only reduce demand.
+    full = loop.grid_state.replace(
+        densities=jnp.ones_like(loop.grid_state.densities) * 100.0
+    )
+    d_none = float(
+        loop.renderer.mean_sample_demand(
+            jax.random.PRNGKey(0), jnp.asarray(batch[:, :2]), full
+        )
+    )
+    d_eps = float(
+        loop.renderer.mean_sample_demand(
+            jax.random.PRNGKey(0), jnp.asarray(batch[:, :2]), full,
+            transmittance_eps=1e-2,
+        )
+    )
+    assert d_eps <= d_none
     for v in vals.values():
         assert np.isfinite(float(v))
