@@ -139,6 +139,22 @@ class OccupancyGrid:
         return OccupancyGridState(densities=densities, step=state.step + 1)
 
 
+#: Quantized per-ray pool budgets for "auto" modes: resolved budgets snap
+#: up to one of these, so distinct compiled programs are bounded by the
+#: few buckets a run crosses.
+AUTO_BUDGET_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+
+
+def quantize_budget(per_ray: float, cap: int) -> int:
+    """Snap a measured per-ray demand up to the next budget bucket, capped
+    at ``cap`` (the per-ray sample limit K)."""
+    bucket = next(
+        (b for b in AUTO_BUDGET_BUCKETS if b >= per_ray),
+        AUTO_BUDGET_BUCKETS[-1],
+    )
+    return min(bucket, cap)
+
+
 def compact_occupied_strided(
     ts: Array,
     occupied: Array,

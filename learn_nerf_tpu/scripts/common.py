@@ -66,11 +66,12 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument(
         "--occ_budget_per_ray",
-        type=float,
+        type=lambda v: v if v == "auto" else float(v),
         default=None,
         help="inference only: pool all surviving samples of a render tile "
         "into one buffer of tile_size * this many slots (average-case "
-        "model cost instead of the per-ray worst case)",
+        "model cost instead of the per-ray worst case); 'auto' sizes it "
+        "losslessly from the first frame's measured demand",
     )
     parser.add_argument(
         "--occ_train_budget",

@@ -106,22 +106,58 @@ class RenderSession:
                 samples=args.occ_samples,
             )
 
-            def frame(key, rays):
-                out = render_frame_occupancy(
-                    self.renderer,
-                    key,
-                    rays,
-                    params["fine"],
-                    self.background,
-                    grid_state,
-                    tile_size=min(args.batch_size, rays.shape[0]),
-                    budget_per_ray=getattr(args, "occ_budget_per_ray", None),
-                    transmittance_eps=getattr(args, "occ_t_eps", 0.0),
-                    mesh=self._mesh,  # tiles shard over the data axis
-                )
-                return out["outputs"]
+            def make_frame(budget_per_ray):
+                def frame(key, rays):
+                    out = render_frame_occupancy(
+                        self.renderer,
+                        key,
+                        rays,
+                        params["fine"],
+                        self.background,
+                        grid_state,
+                        tile_size=min(args.batch_size, rays.shape[0]),
+                        budget_per_ray=budget_per_ray,
+                        transmittance_eps=getattr(args, "occ_t_eps", 0.0),
+                        mesh=self._mesh,  # tiles shard over the data axis
+                    )
+                    return out["outputs"]
 
-            self._render = jax.jit(frame)
+                return jax.jit(frame)
+
+            budget_cfg = getattr(args, "occ_budget_per_ray", None)
+            frame_cache = {}
+
+            def render(key, rays):
+                budget = budget_cfg
+                if budget == "auto":
+                    # Resolve once from the first frame's measured mean
+                    # survivor demand (lossless: demand + margin, capped
+                    # at K); one cheap grid-only pass, no field model.
+                    if "auto" not in frame_cache:
+                        from ..acceleration import quantize_budget
+
+                        eps = getattr(args, "occ_t_eps", 0.0)
+                        demand_fn = jax.jit(
+                            lambda k, r, gs: self.renderer.mean_sample_demand(
+                                k, r, gs, transmittance_eps=eps
+                            )
+                        )
+                        demand = float(
+                            demand_fn(jax.random.PRNGKey(0), rays, grid_state)
+                        )
+                        frame_cache["auto"] = quantize_budget(
+                            demand * 1.3, self.renderer.samples
+                        )
+                        print(
+                            f"auto render budget: {frame_cache['auto']} "
+                            f"samples/ray (measured demand {demand:.1f})"
+                        )
+                    budget = frame_cache["auto"]
+                if budget not in frame_cache:
+                    frame_cache[budget] = make_frame(budget)
+                return frame_cache[budget](key, rays)
+
+            self._render = render
         else:
             self.renderer = Renderer(
                 coarse=coarse,

@@ -565,11 +565,7 @@ class OccupancyTrainLoop:
 
     shard_batch = TrainLoop.shard_batch
 
-    # Quantized per-ray budgets for "auto" mode: re-resolving returns one
-    # of these, so budget changes (= recompiles of the pooled step) are
-    # bounded by the few buckets the grid's cull-in crosses.
-    _AUTO_BUDGET_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
-    _AUTO_REBUDGET_INTERVAL = 256  # host steps between grid re-measures
+    _AUTO_REBUDGET_INTERVAL = 256  # host steps between demand re-measures
 
     def _resolve_pool_budget(self, batch) -> float:
         """Per-ray pool budget.  ``"auto"`` measures the actual mean
@@ -601,12 +597,9 @@ class OccupancyTrainLoop:
                     self.grid_state,
                 )
             )
-            per_ray = min(demand * 1.3, float(self.renderer.samples))
-            bucket = next(
-                (b for b in self._AUTO_BUDGET_BUCKETS if b >= per_ray),
-                self._AUTO_BUDGET_BUCKETS[-1],
-            )
-            bucket = min(bucket, self.renderer.samples)
+            from .acceleration import quantize_budget
+
+            bucket = quantize_budget(demand * 1.3, self.renderer.samples)
             if self._auto_per_ray is None or bucket < self._auto_per_ray:
                 self._auto_per_ray = bucket
             self._auto_resolved_at = self._host_step

@@ -291,6 +291,31 @@ def test_occupancy_cli_end_to_end(tmp_path):
     img = np.asarray(Image.open(out_png))
     assert img.shape == (16, 16, 3)
 
+    # The auto pooled budget resolves from measured demand and renders a
+    # frame that matches the fixed-K path closely (lossless sizing).
+    auto_png = str(tmp_path / "out_auto.png")
+    render_nerf.main(
+        [
+            "--seed", "0",
+            "--batch_size", "128",
+            "--occupancy",
+            "--occ_candidates", "32",
+            "--occ_samples", "8",
+            "--occ_budget_per_ray", "auto",
+            "--width", "16",
+            "--height", "16",
+            "--model_path", save_path,
+            scene + "/metadata.json",
+            scene + "/0000.json",
+            auto_png,
+        ]
+    )
+    # The pooled tiling draws different per-tile stratification keys, so
+    # pixels differ by sampling jitter only — close on average.
+    auto_img = np.asarray(Image.open(auto_png)).astype(np.int32)
+    assert auto_img.shape == (16, 16, 3)
+    assert np.abs(auto_img - img.astype(np.int32)).mean() <= 3.0
+
 
 def test_render_new_dataset_occupancy(tmp_path):
     from learn_nerf_tpu.scripts import render_new_dataset, train_nerf
