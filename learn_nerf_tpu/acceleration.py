@@ -82,15 +82,40 @@ class OccupancyGrid:
         r = self.resolution
         return cell[..., 0] + r * (cell[..., 1] + r * cell[..., 2])
 
-    def occupied(self, state: OccupancyGridState, x: Array) -> Array:
-        """Boolean occupancy per point (stop-gradient semantics).
+    def occupied_from_densities(
+        self, state: OccupancyGridState, d: Array
+    ) -> Array:
+        """Occupancy test on already-gathered cell densities.
 
         All-true while ``state.step < warmup_updates`` (see the field
         docstring); thereafter a threshold test on the EMA densities.
+        The single definition of the warmup-or-threshold rule — every
+        occupancy consumer (renderer, pooled paths, demand estimator)
+        must route through here.
         """
+        return (d > self.threshold) | (state.step < self.warmup_updates)
+
+    def occupied(self, state: OccupancyGridState, x: Array) -> Array:
+        """Boolean occupancy per point (stop-gradient semantics)."""
         idx = self.cell_indices(x)
         d = jax.lax.stop_gradient(state.densities)[idx]
-        return (d > self.threshold) | (state.step < self.warmup_updates)
+        return self.occupied_from_densities(state, d)
+
+    def state_from_checkpoint(self, params: dict) -> OccupancyGridState:
+        """Grid state for rendering from a params checkpoint.
+
+        A checkpointed grid (``occupancy_densities`` present) is trained:
+        mark it past warmup so culling applies.  Otherwise fall back to
+        :meth:`init` (everything occupied) at step 0.  Use this instead
+        of hand-assembling the state — forgetting the step marking
+        silently disables culling (or, at step 0, re-enters warmup).
+        """
+        if "occupancy_densities" in params:
+            return OccupancyGridState(
+                densities=jnp.asarray(params["occupancy_densities"]),
+                step=jnp.asarray(self.warmup_updates, jnp.int32),
+            )
+        return self.init()
 
     def cell_positions(self, key: jax.Array, ids: Array) -> Array:
         """World-space positions of cells ``ids``, jittered within the cell."""

@@ -110,19 +110,22 @@ class OccupancyRenderer:
             aux_means,
         )
 
-    def mean_sample_demand(
+    def _select_candidates(
         self,
         key: jax.Array,
         rays: Array,
         grid_state: OccupancyGridState,
         transmittance_eps: float = 0.0,
-    ) -> Array:
-        """Mean per-ray survivor count a pooled pass would see.
+    ):
+        """THE pooled-path candidate selection, in one place.
 
-        Mirrors :meth:`render_rays_pooled`'s candidate selection exactly
-        (occupancy test incl. warmup, optional transmittance prune, bbox
-        mask, per-ray cap at K) without touching the field model — used to
-        size the ``"auto"`` training pool budget from a real batch.
+        Stratified candidates, occupancy test (incl. warmup), optional
+        grid-transmittance prune, bbox mask.  Both
+        :meth:`render_rays_pooled` and :meth:`mean_sample_demand` route
+        through here, so the demand estimator cannot drift from the
+        selection it sizes.
+
+        :return: ``(cand_ts [N,C], occ [N,C] bool, dt [N,1], mask [N])``.
         """
         bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
         bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
@@ -134,15 +137,34 @@ class OccupancyRenderer:
         cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
         cell_idx = self.grid.cell_indices(cand_pts)
         d_grid = jax.lax.stop_gradient(grid_state.densities)[cell_idx]
-        occ = (d_grid > self.grid.threshold) | (
-            grid_state.step < self.grid.warmup_updates
-        )
+        occ = self.grid.occupied_from_densities(grid_state, d_grid)
+        dt = (t_max - t_min)[:, None] / self.candidates  # [N, 1]
         if transmittance_eps > 0.0:
-            dt = (t_max - t_min)[:, None] / self.candidates
+            # The grid holds an EMA-max of true densities per cell, so the
+            # scanned opacity is an estimate; a small eps only prunes
+            # candidates behind essentially opaque matter.
             approx = jnp.where(occ, d_grid, 0.0) * dt
             acc_prev = jnp.cumsum(approx, axis=1) - approx
             occ = occ & (jnp.exp(-acc_prev) > transmittance_eps)
         occ = occ & mask[:, None]
+        return cand_ts, occ, dt, mask
+
+    def mean_sample_demand(
+        self,
+        key: jax.Array,
+        rays: Array,
+        grid_state: OccupancyGridState,
+        transmittance_eps: float = 0.0,
+    ) -> Array:
+        """Mean per-ray survivor count a pooled pass would see.
+
+        Exactly :meth:`render_rays_pooled`'s candidate selection (shared
+        code path) without touching the field model — used to size the
+        ``"auto"`` pool budgets from a real batch.
+        """
+        _, occ, _, _ = self._select_candidates(
+            key, rays, grid_state, transmittance_eps
+        )
         c = jnp.sum(occ.astype(jnp.float32), axis=1)
         return jnp.mean(jnp.minimum(c, float(self.samples)))
 
@@ -186,33 +208,11 @@ class OccupancyRenderer:
         :return: dict with ``outputs [N,3]``, ``alphas [N,1]``,
                  ``coords [N,3]``, ``aux`` (scalar aux-loss means).
         """
-        bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
-        bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
         origins, dirs = rays[:, 0], rays[:, 1]
         n = origins.shape[0]
-        t_min, t_max, mask = ray_bbox_range(
-            origins, dirs, bbox_min, bbox_max, self.min_t_range
+        cand_ts, occ, dt, mask = self._select_candidates(
+            key, rays, grid_state, transmittance_eps
         )
-
-        cand_ts = stratified_ts(key, t_min, t_max, self.candidates)  # [N, C]
-        cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
-        cell_idx = self.grid.cell_indices(cand_pts)
-        d_grid = jax.lax.stop_gradient(grid_state.densities)[cell_idx]  # [N, C]
-        # Same warmup semantics as grid.occupied (d_grid kept for the
-        # transmittance estimate below).
-        occ = (d_grid > self.grid.threshold) | (
-            grid_state.step < self.grid.warmup_updates
-        )
-        dt = (t_max - t_min)[:, None] / self.candidates  # [N, 1]
-
-        if transmittance_eps > 0.0:
-            # The grid holds an EMA-max of true densities per cell, so the
-            # scanned opacity is an estimate; a small eps only prunes
-            # candidates behind essentially opaque matter.
-            approx = jnp.where(occ, d_grid, 0.0) * dt
-            acc_prev = jnp.cumsum(approx, axis=1) - approx
-            occ = occ & (jnp.exp(-acc_prev) > transmittance_eps)
-        occ = occ & mask[:, None]
 
         # Per-ray cap first (same strided-K semantics as render_rays),
         # bounding any one ray's pool appetite at K; if the pool still
@@ -278,6 +278,40 @@ class OccupancyRenderer:
             for k, v in aux.items()
         }
         return dict(outputs=outputs, alphas=alphas, coords=coords, aux=aux_means)
+
+
+def resolve_auto_budget(
+    renderer: OccupancyRenderer,
+    grid_state: OccupancyGridState,
+    rays: Array,
+    transmittance_eps: float = 0.0,
+    sample_rays: int = 8192,
+) -> int:
+    """Per-ray pool budget from measured demand, for the render CLIs.
+
+    Lossless sizing: mean measured demand * 1.3 margin, bucket-quantized
+    (``acceleration.quantize_budget``), capped at K.  Demand is measured
+    on an evenly strided subset of the frame's rays — the same global mix
+    the interleaved tiles see — so the one-shot pass allocates
+    ``O(sample_rays * C)`` instead of the whole frame's ``O(M * C)``.
+    """
+    from .acceleration import quantize_budget
+
+    stride = max(1, rays.shape[0] // sample_rays)
+    subset = rays[::stride][:sample_rays]
+    eps = transmittance_eps
+    demand_fn = jax.jit(
+        lambda k, r, gs: renderer.mean_sample_demand(
+            k, r, gs, transmittance_eps=eps
+        )
+    )
+    demand = float(demand_fn(jax.random.PRNGKey(0), subset, grid_state))
+    budget = quantize_budget(demand * 1.3, renderer.samples)
+    print(
+        f"auto render budget: {budget} samples/ray "
+        f"(measured demand {demand:.1f})"
+    )
+    return budget
 
 
 def render_frame_occupancy(

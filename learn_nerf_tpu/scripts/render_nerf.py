@@ -80,7 +80,7 @@ class RenderSession:
         self._mesh = mesh if mesh.shape[DATA_AXIS] > 1 else None
 
         if getattr(args, "occupancy", False):
-            from ..acceleration import OccupancyGrid, OccupancyGridState
+            from ..acceleration import OccupancyGrid
             from ..occ_render import OccupancyRenderer, render_frame_occupancy
 
             grid = OccupancyGrid(
@@ -89,14 +89,7 @@ class RenderSession:
                 resolution=int(params.get("occupancy_resolution", args.occ_grid)),
                 threshold=getattr(args, "occ_threshold", 0.01),
             )
-            if "occupancy_densities" in params:
-                # A trained grid: mark it past warmup so culling applies.
-                densities = jnp.asarray(params["occupancy_densities"])
-                step = jnp.asarray(grid.warmup_updates, jnp.int32)
-            else:
-                densities = grid.init().densities  # everything occupied
-                step = jnp.zeros((), jnp.int32)
-            grid_state = OccupancyGridState(densities=densities, step=step)
+            grid_state = grid.state_from_checkpoint(params)
             self.renderer = OccupancyRenderer(
                 model=fine,
                 grid=grid,
@@ -130,27 +123,16 @@ class RenderSession:
             def render(key, rays):
                 budget = budget_cfg
                 if budget == "auto":
-                    # Resolve once from the first frame's measured mean
-                    # survivor demand (lossless: demand + margin, capped
-                    # at K); one cheap grid-only pass, no field model.
+                    # Resolve once from the first frame's measured demand
+                    # (lossless sizing; grid-only pass, no field model).
                     if "auto" not in frame_cache:
-                        from ..acceleration import quantize_budget
+                        from ..occ_render import resolve_auto_budget
 
-                        eps = getattr(args, "occ_t_eps", 0.0)
-                        demand_fn = jax.jit(
-                            lambda k, r, gs: self.renderer.mean_sample_demand(
-                                k, r, gs, transmittance_eps=eps
-                            )
-                        )
-                        demand = float(
-                            demand_fn(jax.random.PRNGKey(0), rays, grid_state)
-                        )
-                        frame_cache["auto"] = quantize_budget(
-                            demand * 1.3, self.renderer.samples
-                        )
-                        print(
-                            f"auto render budget: {frame_cache['auto']} "
-                            f"samples/ray (measured demand {demand:.1f})"
+                        frame_cache["auto"] = resolve_auto_budget(
+                            self.renderer,
+                            grid_state,
+                            rays,
+                            transmittance_eps=getattr(args, "occ_t_eps", 0.0),
                         )
                     budget = frame_cache["auto"]
                 if budget not in frame_cache:

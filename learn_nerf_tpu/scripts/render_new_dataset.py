@@ -61,7 +61,7 @@ def main(argv=None):
     mesh = default_mesh()
     mesh = mesh if mesh.shape[DATA_AXIS] > 1 else None
     if args.occupancy:
-        from ..acceleration import OccupancyGrid, OccupancyGridState
+        from ..acceleration import OccupancyGrid
         from ..occ_render import OccupancyRenderer, render_frame_occupancy
 
         grid = OccupancyGrid(
@@ -69,14 +69,7 @@ def main(argv=None):
             threshold=getattr(args, "occ_threshold", 0.01),
             **bbox,
         )
-        if "occupancy_densities" in params:
-            # A trained grid: mark it past warmup so culling applies.
-            densities = jnp.asarray(params["occupancy_densities"])
-            step = jnp.asarray(grid.warmup_updates, jnp.int32)
-        else:
-            densities = grid.init().densities
-            step = jnp.zeros((), jnp.int32)
-        grid_state = OccupancyGridState(densities=densities, step=step)
+        grid_state = grid.state_from_checkpoint(params)
         occ_renderer = OccupancyRenderer(
             model=fine,
             grid=grid,
@@ -85,22 +78,43 @@ def main(argv=None):
             **bbox,
         )
 
-        def frame(key, rays):
-            return render_frame_occupancy(
-                occ_renderer,
-                key,
-                rays,
-                params["fine"],
-                background,
-                grid_state,
-                tile_size=min(args.batch_size, rays.shape[0]),
-                budget_per_ray=getattr(args, "occ_budget_per_ray", None),
-                transmittance_eps=getattr(args, "occ_t_eps", 0.0),
-                include_depth_outputs=True,
-                mesh=mesh,
-            )
+        def make_frame(budget_per_ray):
+            def frame(key, rays):
+                return render_frame_occupancy(
+                    occ_renderer,
+                    key,
+                    rays,
+                    params["fine"],
+                    background,
+                    grid_state,
+                    tile_size=min(args.batch_size, rays.shape[0]),
+                    budget_per_ray=budget_per_ray,
+                    transmittance_eps=getattr(args, "occ_t_eps", 0.0),
+                    include_depth_outputs=True,
+                    mesh=mesh,
+                )
 
-        render = jax.jit(frame)
+            return jax.jit(frame)
+
+        budget_cfg = getattr(args, "occ_budget_per_ray", None)
+        frame_cache = {}
+
+        def render(key, rays):
+            budget = budget_cfg
+            if budget == "auto":
+                if "auto" not in frame_cache:
+                    from ..occ_render import resolve_auto_budget
+
+                    frame_cache["auto"] = resolve_auto_budget(
+                        occ_renderer,
+                        grid_state,
+                        rays,
+                        transmittance_eps=getattr(args, "occ_t_eps", 0.0),
+                    )
+                budget = frame_cache["auto"]
+            if budget not in frame_cache:
+                frame_cache[budget] = make_frame(budget)
+            return frame_cache[budget](key, rays)
     else:
         renderer = Renderer(
             coarse=coarse,

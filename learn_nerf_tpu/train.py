@@ -696,10 +696,11 @@ class OccupancyTrainLoop:
         state = self.state.replace(params=params)
         self.state = jax.device_put(state, replicated_sharding(self.mesh))
         if "occupancy_densities" in payload:
+            # state_from_checkpoint marks the trained grid past warmup —
+            # a step-0 state would re-enter the all-occupied window and
+            # disable culling for 256 steps after every pickle resume.
             self.grid_state = jax.device_put(
-                self.grid_state.replace(
-                    densities=jnp.asarray(payload["occupancy_densities"])
-                ),
+                self.grid.state_from_checkpoint(payload),
                 replicated_sharding(self.mesh),
             )
 

@@ -64,3 +64,22 @@ def test_dryrun_multichip_hermetic_subprocess():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8) OK" in proc.stdout
+
+
+def test_entry_grid_densities_are_live():
+    """The exported render fn must actually cull from its grid-densities
+    argument: a dead grid renders pure background, an occupied one does
+    not (regression: a step-0 grid state tests all-occupied during warmup
+    regardless of densities)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__
+
+    fn, (params, densities, key, rays) = __graft_entry__.entry()
+    live = jax.jit(fn)(params, densities, key, rays)
+    dead = jax.jit(fn)(params, jnp.zeros_like(densities), key, rays)
+    # Background is zeros; the dead grid must composite exactly to it.
+    np.testing.assert_allclose(np.asarray(dead), 0.0, atol=1e-6)
+    assert float(jnp.abs(live).max()) > 1e-3

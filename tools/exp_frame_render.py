@@ -23,7 +23,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from learn_nerf_tpu.acceleration import OccupancyGrid, OccupancyGridState
+    from learn_nerf_tpu.acceleration import OccupancyGrid
     from learn_nerf_tpu.checkpoint import load_params_pickle
     from learn_nerf_tpu.data.camera import CameraView
     from learn_nerf_tpu.data.dataset import ModelMetadata
@@ -37,10 +37,7 @@ def main():
         bbox_max=tuple(meta.bbox_max),
         resolution=int(params["occupancy_resolution"]),
     )
-    grid_state = OccupancyGridState(
-        densities=jnp.asarray(params["occupancy_densities"]),
-        step=jnp.asarray(grid.warmup_updates, jnp.int32),  # trained grid: past warmup
-    )
+    grid_state = grid.state_from_checkpoint(params)
     occ_frac = float((np.asarray(grid_state.densities) > grid.threshold).mean())
     print(f"grid occupancy: {occ_frac:.3f}")
 

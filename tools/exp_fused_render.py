@@ -17,7 +17,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from learn_nerf_tpu.acceleration import OccupancyGrid, OccupancyGridState
+    from learn_nerf_tpu.acceleration import OccupancyGrid
     from learn_nerf_tpu.checkpoint import load_params_pickle
     from learn_nerf_tpu.data.camera import CameraView
     from learn_nerf_tpu.data.dataset import ModelMetadata
@@ -35,14 +35,7 @@ def main():
         bbox_max=tuple(meta.bbox_max),
         resolution=int(params.get("occupancy_resolution", 128)),
     )
-    if "occupancy_densities" in params:
-        densities = jnp.asarray(params["occupancy_densities"])
-    else:
-        densities = grid.init().densities
-    grid_state = OccupancyGridState(
-        densities=densities,
-        step=jnp.asarray(grid.warmup_updates, jnp.int32),  # trained grid: past warmup
-    )
+    grid_state = grid.state_from_checkpoint(params)
     renderer = OccupancyRenderer(
         model=NeRFModel(),
         grid=grid,
