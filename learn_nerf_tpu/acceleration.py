@@ -172,10 +172,27 @@ AUTO_BUDGET_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
 
 def quantize_budget(per_ray: float, cap: int) -> int:
     """Snap a measured per-ray demand up to the next budget bucket, capped
-    at ``cap`` (the per-ray sample limit K)."""
+    at ``cap`` (the per-ray sample limit K).
+
+    The cap is the FINAL bucket: demand above the largest tabulated bucket
+    snaps up to ``ceil(per_ray)`` (still capped) instead of silently
+    returning a bucket below demand — sizing stays lossless whenever
+    ``cap`` itself is enough (K per-ray samples can never demand more
+    than K slots each).
+    """
+    import math
+
     bucket = next(
         (b for b in AUTO_BUDGET_BUCKETS if b >= per_ray),
-        AUTO_BUDGET_BUCKETS[-1],
+        max(AUTO_BUDGET_BUCKETS[-1], math.ceil(per_ray)),
+    )
+    return min(bucket, cap)
+
+
+def next_budget_bucket(budget: int, cap: int) -> int:
+    """The next bucket above ``budget`` (for overflow escalation), capped."""
+    bucket = next(
+        (b for b in AUTO_BUDGET_BUCKETS if b > budget), max(budget + 1, cap)
     )
     return min(bucket, cap)
 

@@ -11,16 +11,38 @@ owns the views with ``index % process_count == process_id`` and writes its
 shards under ``host_{process_id}/``, so every host streams a disjoint ray
 subset with no cross-host I/O — the per-host batches then join into one
 globally-sharded array at the jit boundary
-(``parallel.mesh.global_batch_from_local``).
+(``parallel.mesh.global_batch_from_local``).  With MORE processes than
+views, sharding whole views would leave some hosts with zero rays; the
+partition then switches to ray-level striding (every process reads every
+view but keeps rays ``process_id::process_count``) — still disjoint and
+complete.
+
+The ``done`` marker stores a signature of (view list, num_shards,
+process_count): a cache built for a different dataset layout invalidates
+and rebuilds instead of silently serving stale rays (the reference shares
+this flaw — its marker is unconditional, ``dataset.py:187-198``).
 """
 
+import hashlib
 import os
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
 ROW_SHAPE = (3, 3)
 ROW_FLOATS = 9
+
+
+def _cache_signature(
+    views: Sequence, num_shards: int, process_count: int
+) -> str:
+    """Signature of everything that determines shard-file contents."""
+    h = hashlib.md5()
+    h.update(f"v2:{num_shards}:{process_count}:{len(views)}".encode())
+    for view in views:
+        h.update(str(getattr(view, "image_path", "")).encode())
+        h.update(b"\x00")
+    return h.hexdigest()
 
 
 class ShuffledDataset:
@@ -41,6 +63,7 @@ class ShuffledDataset:
                 process_count = jax.process_count()
             except Exception:
                 process_id, process_count = 0, 1
+        process_count = max(process_count, 1)
         self.num_shards = num_shards
         rng = np.random.Generator(np.random.Philox(seed))
         self._shard_rng, self._shuffle_rng = rng.spawn(2)
@@ -53,14 +76,41 @@ class ShuffledDataset:
         os.makedirs(host_dir, exist_ok=True)
         done_path = os.path.join(host_dir, "done")
         paths = [os.path.join(host_dir, str(i)) for i in range(num_shards)]
-        if os.path.exists(done_path):
+        signature = _cache_signature(dataset.views, num_shards, process_count)
+        if self._cache_valid(done_path, signature):
             self.fds = [open(p, "rb") for p in paths]
         else:
             self.fds = [open(p, "wb+") for p in paths]
-            local_views = dataset.views[process_id::max(process_count, 1)]
-            self._create_shards(local_views)
-            with open(done_path, "wb") as f:
-                f.write(b"done\n")
+            if process_count > len(dataset.views):
+                # Ray-level striding: every view, rays pid::pcount each.
+                self._create_shards(
+                    dataset.views, ray_stride=(process_id, process_count)
+                )
+            else:
+                self._create_shards(
+                    dataset.views[process_id::process_count]
+                )
+            with open(done_path, "w") as f:
+                f.write(signature + "\n")
+
+    @staticmethod
+    def _cache_valid(done_path: str, signature: str) -> bool:
+        if not os.path.exists(done_path):
+            return False
+        with open(done_path) as f:
+            content = f.read().strip()
+        if content == "done":
+            # Pre-signature cache (or one written by the reference):
+            # accept it — rebuilding under a remote-TPU runtime costs
+            # ~80x — but say so, since it cannot be validated.
+            print(
+                f"note: shuffle cache {done_path} predates content "
+                "signatures; delete the directory to force a rebuild "
+                "if the dataset changed",
+                flush=True,
+            )
+            return True
+        return content == signature
 
     def __enter__(self):
         return self
@@ -95,9 +145,12 @@ class ShuffledDataset:
         if carry is not None and carry.shape[0]:
             yield carry
 
-    def _create_shards(self, views) -> None:
+    def _create_shards(self, views, ray_stride=None) -> None:
         for view in views:
             rays = np.asarray(view.rays(), dtype=np.float32)
+            if ray_stride is not None:
+                pid, pcount = ray_stride
+                rays = rays[pid::pcount]
             assignments = self._shard_rng.integers(0, self.num_shards, rays.shape[0])
             order = np.argsort(assignments, kind="stable")
             sorted_rays = rays[order]

@@ -156,6 +156,35 @@ def create_model(
     return coarse, fine, train_kwargs
 
 
+def build_occupancy_renderer(args, metadata: ModelMetadata, fine, params):
+    """Occupancy renderer + grid state from CLI args and a checkpoint.
+
+    Shared by every render-family CLI so the grid resolution fallback
+    (checkpointed ``occupancy_resolution`` wins over ``--occ_grid``) and
+    the past-warmup state marking stay in one place.
+    """
+    from ..acceleration import OccupancyGrid
+    from ..occ_render import OccupancyRenderer
+
+    bbox = dict(
+        bbox_min=tuple(metadata.bbox_min), bbox_max=tuple(metadata.bbox_max)
+    )
+    grid = OccupancyGrid(
+        resolution=int(params.get("occupancy_resolution", args.occ_grid)),
+        threshold=getattr(args, "occ_threshold", 0.01),
+        **bbox,
+    )
+    grid_state = grid.state_from_checkpoint(params)
+    renderer = OccupancyRenderer(
+        model=fine,
+        grid=grid,
+        candidates=args.occ_candidates,
+        samples=args.occ_samples,
+        **bbox,
+    )
+    return renderer, grid_state
+
+
 def seeded_key(seed):
     import random
 

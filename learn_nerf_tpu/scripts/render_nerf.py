@@ -18,7 +18,13 @@ from ..checkpoint import load_params_pickle
 from ..data.camera import CameraView
 from ..data.dataset import ModelMetadata
 from ..render import Renderer, render_frame
-from .common import add_model_args, add_occupancy_args, create_model, seeded_key
+from .common import (
+    add_model_args,
+    add_occupancy_args,
+    build_occupancy_renderer,
+    create_model,
+    seeded_key,
+)
 
 
 def base_argparser() -> argparse.ArgumentParser:
@@ -80,66 +86,24 @@ class RenderSession:
         self._mesh = mesh if mesh.shape[DATA_AXIS] > 1 else None
 
         if getattr(args, "occupancy", False):
-            from ..acceleration import OccupancyGrid
-            from ..occ_render import OccupancyRenderer, render_frame_occupancy
+            from ..occ_render import OccupancyFrameSession
 
-            grid = OccupancyGrid(
-                bbox_min=tuple(self.metadata.bbox_min),
-                bbox_max=tuple(self.metadata.bbox_max),
-                resolution=int(params.get("occupancy_resolution", args.occ_grid)),
-                threshold=getattr(args, "occ_threshold", 0.01),
+            self.renderer, grid_state = build_occupancy_renderer(
+                args, self.metadata, fine, params
             )
-            grid_state = grid.state_from_checkpoint(params)
-            self.renderer = OccupancyRenderer(
-                model=fine,
-                grid=grid,
-                bbox_min=tuple(self.metadata.bbox_min),
-                bbox_max=tuple(self.metadata.bbox_max),
-                candidates=args.occ_candidates,
-                samples=args.occ_samples,
+            self._frames = OccupancyFrameSession(
+                self.renderer,
+                params["fine"],
+                self.background,
+                grid_state,
+                budget_cfg=getattr(args, "occ_budget_per_ray", None),
+                tile_size=args.batch_size,
+                transmittance_eps=getattr(args, "occ_t_eps", 0.0),
+                mesh=self._mesh,  # tiles shard over the data axis
             )
-
-            def make_frame(budget_per_ray):
-                def frame(key, rays):
-                    out = render_frame_occupancy(
-                        self.renderer,
-                        key,
-                        rays,
-                        params["fine"],
-                        self.background,
-                        grid_state,
-                        tile_size=min(args.batch_size, rays.shape[0]),
-                        budget_per_ray=budget_per_ray,
-                        transmittance_eps=getattr(args, "occ_t_eps", 0.0),
-                        mesh=self._mesh,  # tiles shard over the data axis
-                    )
-                    return out["outputs"]
-
-                return jax.jit(frame)
-
-            budget_cfg = getattr(args, "occ_budget_per_ray", None)
-            frame_cache = {}
-
-            def render(key, rays):
-                budget = budget_cfg
-                if budget == "auto":
-                    # Resolve once from the first frame's measured demand
-                    # (lossless sizing; grid-only pass, no field model).
-                    if "auto" not in frame_cache:
-                        from ..occ_render import resolve_auto_budget
-
-                        frame_cache["auto"] = resolve_auto_budget(
-                            self.renderer,
-                            grid_state,
-                            rays,
-                            transmittance_eps=getattr(args, "occ_t_eps", 0.0),
-                        )
-                    budget = frame_cache["auto"]
-                if budget not in frame_cache:
-                    frame_cache[budget] = make_frame(budget)
-                return frame_cache[budget](key, rays)
-
-            self._render = render
+            self._render = lambda key, rays: self._frames.render(key, rays)[
+                "outputs"
+            ]
         else:
             self.renderer = Renderer(
                 coarse=coarse,

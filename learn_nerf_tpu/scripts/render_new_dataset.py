@@ -61,60 +61,23 @@ def main(argv=None):
     mesh = default_mesh()
     mesh = mesh if mesh.shape[DATA_AXIS] > 1 else None
     if args.occupancy:
-        from ..acceleration import OccupancyGrid
-        from ..occ_render import OccupancyRenderer, render_frame_occupancy
+        from ..occ_render import OccupancyFrameSession
+        from .common import build_occupancy_renderer
 
-        grid = OccupancyGrid(
-            resolution=int(params.get("occupancy_resolution", args.occ_grid)),
-            threshold=getattr(args, "occ_threshold", 0.01),
-            **bbox,
+        occ_renderer, grid_state = build_occupancy_renderer(
+            args, metadata, fine, params
         )
-        grid_state = grid.state_from_checkpoint(params)
-        occ_renderer = OccupancyRenderer(
-            model=fine,
-            grid=grid,
-            candidates=args.occ_candidates,
-            samples=args.occ_samples,
-            **bbox,
-        )
-
-        def make_frame(budget_per_ray):
-            def frame(key, rays):
-                return render_frame_occupancy(
-                    occ_renderer,
-                    key,
-                    rays,
-                    params["fine"],
-                    background,
-                    grid_state,
-                    tile_size=min(args.batch_size, rays.shape[0]),
-                    budget_per_ray=budget_per_ray,
-                    transmittance_eps=getattr(args, "occ_t_eps", 0.0),
-                    include_depth_outputs=True,
-                    mesh=mesh,
-                )
-
-            return jax.jit(frame)
-
-        budget_cfg = getattr(args, "occ_budget_per_ray", None)
-        frame_cache = {}
-
-        def render(key, rays):
-            budget = budget_cfg
-            if budget == "auto":
-                if "auto" not in frame_cache:
-                    from ..occ_render import resolve_auto_budget
-
-                    frame_cache["auto"] = resolve_auto_budget(
-                        occ_renderer,
-                        grid_state,
-                        rays,
-                        transmittance_eps=getattr(args, "occ_t_eps", 0.0),
-                    )
-                budget = frame_cache["auto"]
-            if budget not in frame_cache:
-                frame_cache[budget] = make_frame(budget)
-            return frame_cache[budget](key, rays)
+        render = OccupancyFrameSession(
+            occ_renderer,
+            params["fine"],
+            background,
+            grid_state,
+            budget_cfg=getattr(args, "occ_budget_per_ray", None),
+            tile_size=args.batch_size,
+            transmittance_eps=getattr(args, "occ_t_eps", 0.0),
+            include_depth_outputs=True,
+            mesh=mesh,
+        ).render
     else:
         renderer = Renderer(
             coarse=coarse,

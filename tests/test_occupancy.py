@@ -882,3 +882,148 @@ def test_pooled_training_auto_budget():
     assert d_eps <= d_none
     for v in vals.values():
         assert np.isfinite(float(v))
+
+
+def test_budget_buckets_cap_and_escalation():
+    """quantize_budget treats the cap as the final bucket (no silent
+    sub-demand sizing above the largest tabulated bucket), and
+    next_budget_bucket steps upward for overflow escalation."""
+    from learn_nerf_tpu.acceleration import next_budget_bucket, quantize_budget
+
+    assert quantize_budget(5.2, 32) == 6
+    assert quantize_budget(64.0, 64) == 64
+    # Demand above the largest bucket: snap to ceil(demand) capped, never
+    # below demand while the cap allows it (ADVICE round 2).
+    assert quantize_budget(70.0, 128) == 70
+    assert quantize_budget(70.0, 64) == 64
+    assert next_budget_bucket(8, 32) == 12
+    assert next_budget_bucket(32, 32) == 32
+    assert next_budget_bucket(64, 128) == 128
+
+
+def test_pooled_drop_counters():
+    """render_rays_pooled reports selected/dropped; an ample budget drops
+    zero, an undersized one drops exactly selected - budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    model, params = _small_model_and_params()
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    grid_state = grid.init()  # warmup: everything occupied
+    renderer = OccupancyRenderer(
+        model=model, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=16, samples=16,
+    )
+    rays = jnp.asarray(_random_rays(24, seed=1))
+    background = jnp.asarray([0.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(0)
+
+    ample = renderer.render_rays_pooled(
+        key, rays, params, background, grid_state, budget=24 * 16
+    )
+    sel = int(ample["selected"])
+    assert sel > 0
+    assert int(ample["dropped"]) == 0
+
+    tight_budget = max(sel // 3, 1)
+    tight = renderer.render_rays_pooled(
+        key, rays, params, background, grid_state, budget=tight_budget
+    )
+    assert int(tight["selected"]) == sel
+    assert int(tight["dropped"]) == sel - tight_budget
+
+
+def test_frame_session_reports_and_escalates(capsys):
+    """OccupancyFrameSession: a numeric undersized budget reports the drop
+    rate; auto mode re-measures per view and renders drop-free."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyFrameSession, OccupancyRenderer
+
+    model, params = _small_model_and_params()
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    grid_state = grid.init()
+    renderer = OccupancyRenderer(
+        model=model, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=16, samples=16,
+    )
+    background = jnp.asarray([0.0, 0.0, 0.0])
+    # Aim every ray at the scene so selection demand is real (~16/ray on
+    # the fully-occupied warmup grid).
+    origins = _random_rays(64, seed=2)[:, 0]
+    dirs = -origins / np.linalg.norm(origins, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.stack([origins, dirs], axis=1))
+
+    # Budget 1/ray must drop and warn.
+    manual = OccupancyFrameSession(
+        renderer, params, background, grid_state,
+        budget_cfg=1.0, tile_size=32,
+    )
+    out = manual.render(jax.random.PRNGKey(0), rays)
+    assert int(out["dropped"]) > 0
+    captured = capsys.readouterr().out
+    assert "WARNING" in captured and "dropped" in captured
+
+    # Auto mode sizes from measured demand and must drop nothing.
+    auto = OccupancyFrameSession(
+        renderer, params, background, grid_state,
+        budget_cfg="auto", tile_size=32,
+    )
+    out = auto.render(jax.random.PRNGKey(0), rays)
+    assert int(out["dropped"]) == 0
+    assert "auto render budget" in capsys.readouterr().out
+
+
+def test_pickle_resume_keeps_loop_cadence(tmp_path):
+    """A params-pickle resume restores the host step counter, so a
+    post-switchover run resumes pooled stepping immediately instead of
+    re-waiting pool_start_step dense steps (VERDICT round 2, weak #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    def make_loop():
+        model, _ = _small_model_and_params()
+        return OccupancyTrainLoop(
+            model,
+            init_rng=jax.random.PRNGKey(0),
+            lr=1e-3,
+            bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1),
+            candidates=16,
+            samples=8,
+            grid_resolution=8,
+            update_interval=4,
+            pool_budget_per_ray=4.0,
+            pool_start_step=3,
+            grid_warmup_updates=1,
+        )
+
+    batch = np.concatenate(
+        [_random_rays(16, seed=0), np.zeros((16, 1, 3), np.float32)], axis=1
+    )
+    a = make_loop()
+    base_key = jax.random.PRNGKey(5)
+    for _ in range(5):  # past pool_start_step: pooled stepping active
+        a.step_auto(base_key, batch)
+    assert a._host_step == 5
+    path = str(tmp_path / "ckpt.pkl")
+    a.save(path)
+
+    b = make_loop()
+    b.load(path)
+    assert b._host_step == 5
+    # The very next step must dispatch the POOLED path: stub the dense fn
+    # so any fallback to it fails loudly.
+    def boom(*args, **kwargs):
+        raise AssertionError("dense step used after pooled switchover")
+
+    b._auto_step_fn = boom
+    b.step_auto(base_key, batch)
+    assert b._host_step == 6
