@@ -158,3 +158,137 @@ def test_llff_standin_capture_roundtrip(tmp_path):
         rays = view.bare_rays(32, 32)
         expect = cube_color(rays[:, 0], rays[:, 1]).reshape(32, 32, 3)
         np.testing.assert_array_equal(view.image(), expect)
+
+
+REFERENCE_CONVERTERS = "/root/reference/convert_dataset"
+
+
+def _run_reference_converter(script, argv):
+    """Execute the reference's converter script in a subprocess (its own
+    argparse main; numpy+PIL only — no learn_nerf import)."""
+    import subprocess
+    import sys
+
+    subprocess.run(
+        [sys.executable, os.path.join(REFERENCE_CONVERTERS, script), *argv],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _assert_same_frame_jsons(ref_dir, our_dir):
+    ref_files = sorted(f for f in os.listdir(ref_dir) if f.endswith(".json"))
+    our_files = sorted(f for f in os.listdir(our_dir) if f.endswith(".json"))
+    assert ref_files == our_files and len(ref_files) >= 3
+    for name in ref_files:
+        ref = json.load(open(os.path.join(ref_dir, name)))
+        ours = json.load(open(os.path.join(our_dir, name)))
+        assert set(ref) == set(ours), name
+        for key in ref:
+            np.testing.assert_allclose(
+                np.asarray(ours[key], np.float64),
+                np.asarray(ref[key], np.float64),
+                rtol=1e-12,
+                atol=1e-12,
+                err_msg=f"{name}:{key}",
+            )
+
+
+def _random_rotation(rng):
+    """Uniform-ish proper rotation via QR (det fixed to +1)."""
+    q, r = np.linalg.qr(rng.randn(3, 3))
+    q *= np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q
+
+
+def test_blender_converter_matches_reference(tmp_path):
+    """Run the REFERENCE blender converter and ours on the same
+    transforms_train.json capture (non-trivial rotations) and assert
+    identical per-frame JSONs and metadata (VERDICT round 2: a shared
+    wrong axis assumption between our fixture generator and our converter
+    would be invisible without this)."""
+    import pytest
+
+    if not os.path.isdir(REFERENCE_CONVERTERS):
+        pytest.skip("reference tree not available")
+
+    src = tmp_path / "blender"
+    os.makedirs(src / "train")
+    rng = np.random.RandomState(11)
+    frames = []
+    for i in range(4):
+        mat = np.eye(4)
+        mat[:3, :3] = _random_rotation(rng)
+        mat[:3, 3] = rng.randn(3) * 2.0
+        frames.append(
+            dict(file_path=f"./train/r_{i}", transform_matrix=mat.tolist())
+        )
+        Image.fromarray(
+            rng.randint(0, 256, (24, 36, 3), dtype=np.uint8)
+        ).save(src / "train" / f"r_{i}.png")
+    with open(src / "transforms_train.json", "w") as f:
+        json.dump(dict(camera_angle_x=0.6911112070083618, frames=frames), f)
+
+    ref_out = str(tmp_path / "out_ref")
+    our_out = str(tmp_path / "out_ours")
+    _run_reference_converter(
+        "blender.py", ["--split", "train", str(src), ref_out]
+    )
+    from learn_nerf_tpu.convert import blender
+
+    blender.main(["--split", "train", str(src), our_out])
+
+    _assert_same_frame_jsons(ref_out, our_out)
+    ref_meta = json.load(open(os.path.join(ref_out, "metadata.json")))
+    our_meta = json.load(open(os.path.join(our_out, "metadata.json")))
+    assert ref_meta == our_meta
+    # Images copied identically.
+    ref_img = np.asarray(Image.open(os.path.join(ref_out, "0002.png")))
+    our_img = np.asarray(Image.open(os.path.join(our_out, "0002.png")))
+    np.testing.assert_array_equal(ref_img, our_img)
+
+
+def test_llff_converter_matches_reference(tmp_path):
+    """Reference llff.py vs ours on the same genuine-format
+    poses_bounds.npy capture (the LLFF stand-in): identical per-frame
+    JSONs, metadata bbox, and image sizes, at factor 1 and downscaled."""
+    import subprocess
+    import sys
+
+    import pytest
+
+    if not os.path.isdir(REFERENCE_CONVERTERS):
+        pytest.skip("reference tree not available")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cap = str(tmp_path / "cap")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/make_llff_standin.py"), cap, "40"],
+        check=True,
+        capture_output=True,
+        env=dict(
+            os.environ,
+            PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        ),
+    )
+
+    from learn_nerf_tpu.convert import llff
+
+    for factor in (1.0, 0.5):
+        ref_out = str(tmp_path / f"out_ref_{factor}")
+        our_out = str(tmp_path / f"out_ours_{factor}")
+        _run_reference_converter(
+            "llff.py", ["--factor", str(factor), cap, ref_out]
+        )
+        llff.main(["--factor", str(factor), cap, our_out])
+        _assert_same_frame_jsons(ref_out, our_out)
+        ref_meta = json.load(open(os.path.join(ref_out, "metadata.json")))
+        our_meta = json.load(open(os.path.join(our_out, "metadata.json")))
+        np.testing.assert_allclose(ref_meta["min"], our_meta["min"], rtol=1e-12)
+        np.testing.assert_allclose(ref_meta["max"], our_meta["max"], rtol=1e-12)
+        ref_img = Image.open(os.path.join(ref_out, "00001.png"))
+        our_img = Image.open(os.path.join(our_out, "00001.png"))
+        assert ref_img.size == our_img.size
+        np.testing.assert_array_equal(np.asarray(ref_img), np.asarray(our_img))
