@@ -1,0 +1,176 @@
+"""Baked inference representation for Instant-NGP fields (SNeRG-style).
+
+The trained NGP frame renderer is gather-count-bound: every field sample
+pays 8 corner gathers per level group (16 levels -> 8 groups -> 64
+gathers) plus the density MLP, against XLA's ~110M-gathers/s ceiling
+(docs/DESIGN.md section 3).  None of that is needed at inference: the
+*spatial* part of the model — hash encoding + density MLP, everything up
+to the ``density_dim`` feature vector whose first channel is the log
+density — is a fixed function of position once training ends.
+
+``bake_instant_ngp`` sweeps that spatial stack once over a dense
+``resolution^3`` lattice (one device program, chunked with ``lax.map``)
+and stores the feature vectors in a single table.  ``BakedInstantNGP``
+then evaluates the field with ONE trilinearly-interpolated gather group
+(8 corner gathers of ``density_dim``-wide rows — 8x fewer than the live
+hash stack) followed by the exact, unchanged color MLP; per-sample
+view-dependent color is preserved bit-for-bit in structure (only the
+spatial features are approximated by trilinear interpolation between
+lattice vertices — at lattice vertices the baked field is exact up to
+storage-dtype rounding).
+
+The baked model satisfies the :class:`~learn_nerf_tpu.models.base.FieldModel`
+interface, so every downstream consumer — the occupancy renderer, pooled
+frame tiles, mesh extraction, the render CLIs — works unchanged; the
+render-family CLIs expose it as ``--baked <resolution>``.
+
+Replaces the reference's chunked render loop use case
+(``learn_nerf/scripts/render_nerf.py:85-97``); technique after SNeRG
+(arXiv:2103.14645) adapted to this framework's occupancy/pooled path
+(deferred shading is deliberately NOT used: the per-sample color MLP is
+matmul-bound and nearly free on the MXU, so baking only the gather-bound
+spatial stack keeps the baked render within rounding of the live one).
+"""
+
+import time
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .models.base import FieldModel, FieldOutput
+from .models.instant_ngp import InstantNGPModel
+from .ops.encoding import sinusoidal_features
+from .ops.hashgrid import corner_weights_and_coords
+
+Array = jnp.ndarray
+
+
+class BakedInstantNGP(FieldModel):
+    """Dense-grid spatial field + the original NGP color head.
+
+    Params: ``grid`` — ``[resolution^3, density_dim]`` spatial feature
+    table (vertex-sampled, trilinearly interpolated; channel 0 is log
+    density) — plus the color-head Dense layers copied verbatim from the
+    trained model by :func:`bake_instant_ngp`.
+    """
+
+    resolution: int
+    bbox_min: Tuple[float, float, float]
+    bbox_max: Tuple[float, float, float]
+    d_freqs: int = 4
+    hidden_dim: int = 64
+    density_dim: int = 16
+    color_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array, d: Array) -> FieldOutput:
+        r = self.resolution
+        grid = self.param(
+            "grid",
+            lambda key: jnp.zeros((r**3, self.density_dim), jnp.bfloat16),
+        )
+        bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
+        bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
+        coords, weights = corner_weights_and_coords(
+            x, r, bbox_min, bbox_max, smooth=False
+        )
+        # Dense vertex index (the lattice is its own table; r^3 rows).
+        cx = coords[..., 0].astype(jnp.int32)
+        cy = coords[..., 1].astype(jnp.int32)
+        cz = coords[..., 2].astype(jnp.int32)
+        idx = cx + r * (cy + r * cz)
+        feats = jnp.take(grid, idx, axis=0).astype(jnp.float32)  # [..., 8, F]
+        out = jnp.sum(weights[..., None] * feats, axis=-2)  # [..., F]
+
+        density = jnp.exp(out[..., 0:1])
+        d_emb = sinusoidal_features(d, self.d_freqs)
+        h = jnp.concatenate([d_emb, out], axis=-1)
+        for _ in range(self.color_layers):
+            h = nn.relu(nn.Dense(self.hidden_dim)(h))
+        color = nn.tanh(nn.Dense(3)(h))
+        return density, color, {}
+
+
+def bake_instant_ngp(
+    model: InstantNGPModel,
+    params,
+    resolution: int,
+    dtype=jnp.bfloat16,
+    verbose: bool = True,
+) -> Tuple[BakedInstantNGP, dict]:
+    """Sweep the trained spatial stack onto a dense grid.
+
+    :param model: the trained ``InstantNGPModel`` (plain NGP; the Ref-NeRF
+        hybrid's normals need the live C1 encoding and cannot bake this way).
+    :param params: its trained param tree (``checkpoint["fine"]``).
+    :param resolution: lattice vertices per axis (vertex i at
+        ``bbox_min + i/(resolution-1) * (bbox_max - bbox_min)``, matching
+        the trilinear indexing of :func:`ops.hashgrid.corner_weights_and_coords`).
+    :param dtype: grid storage dtype; bfloat16 halves HBM (512^3 x 16
+        features = 4.3 GB) at ~3 significant digits, enough for densities
+        through ``exp`` at frame-PSNR fidelity — measure with
+        ``eval_psnr --baked`` if in doubt, or pass ``jnp.float32``.
+    :return: ``(baked_model, baked_params)`` ready for any FieldModel
+        consumer; combine as ``dict(fine=baked_params, background=...)``
+        for the render CLIs.
+    """
+    if not isinstance(model, InstantNGPModel):
+        raise ValueError(
+            "--baked supports the plain Instant-NGP model only "
+            f"(got {type(model).__name__})"
+        )
+    r = resolution
+    bbox_min = jnp.asarray(model.bbox_min, dtype=jnp.float32)
+    bbox_max = jnp.asarray(model.bbox_max, dtype=jnp.float32)
+
+    # One device program: r chunks of r^2 lattice vertices, positions
+    # derived on device (no host-side point tensor).
+    @jax.jit
+    def sweep(params):
+        def chunk(z):
+            ids = jnp.arange(r * r, dtype=jnp.int32)
+            cx = ids % r
+            cy = ids // r
+            coords = jnp.stack(
+                [cx, cy, jnp.full_like(cx, 0) + z], axis=-1
+            ).astype(jnp.float32)
+            pts = bbox_min + coords / (r - 1) * (bbox_max - bbox_min)
+            feats = model.apply(
+                dict(params=params), pts, jnp.zeros_like(pts), spatial_only=True
+            )
+            return feats.astype(dtype)
+
+        return jax.lax.map(chunk, jnp.arange(r, dtype=jnp.int32))
+
+    t0 = time.time()
+    grid = sweep(params).reshape(r**3, -1)
+    grid.block_until_ready()
+
+    # Copy the color-head Dense layers: the source names them
+    # Dense_{density_layers+1} .. Dense_{density_layers+color_layers+1}
+    # (creation order in InstantNGPModel.__call__); the baked module's own
+    # compact order names its color stack Dense_0 ...
+    first_color = model.density_layers + 1
+    baked_params = {"grid": grid}
+    for i in range(model.color_layers + 1):
+        baked_params[f"Dense_{i}"] = params[f"Dense_{first_color + i}"]
+
+    baked = BakedInstantNGP(
+        resolution=r,
+        bbox_min=tuple(model.bbox_min),
+        bbox_max=tuple(model.bbox_max),
+        d_freqs=model.d_freqs,
+        hidden_dim=model.hidden_dim,
+        density_dim=model.density_dim,
+        color_layers=model.color_layers,
+    )
+    if verbose:
+        gb = grid.size * grid.dtype.itemsize / 1e9
+        print(
+            f"baked {r}^3 x {grid.shape[-1]} spatial grid "
+            f"({gb:.2f} GB {grid.dtype}) in {time.time() - t0:.1f} s",
+            flush=True,
+        )
+    return baked, baked_params

@@ -72,9 +72,10 @@ class InstantNGPModel(FieldModel):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: Array, d: Array) -> FieldOutput:
+    def __call__(
+        self, x: Array, d: Array, spatial_only: bool = False
+    ) -> FieldOutput:
         dtype = jnp.dtype(self.compute_dtype)
-        d_emb = sinusoidal_features(d, self.d_freqs).astype(dtype)
         out = HashGridEncoding(
             table_sizes=self.table_sizes,
             grid_sizes=self.grid_sizes,
@@ -86,8 +87,15 @@ class InstantNGPModel(FieldModel):
         for _ in range(self.density_layers):
             out = nn.relu(nn.Dense(self.hidden_dim, dtype=dtype)(out))
         out = nn.Dense(self.density_dim, dtype=dtype)(out)
+        if spatial_only:
+            # The full spatial field in one vector: density = exp(out[0]),
+            # the color head reads the rest.  This is what `baked` sweeps
+            # onto a dense grid (module creation order up to here matches
+            # the full path, so param names are unchanged).
+            return out
         # exp in f32: bf16 exp saturates quickly and densities are unbounded.
         density = jnp.exp(out[..., 0:1].astype(jnp.float32))
+        d_emb = sinusoidal_features(d, self.d_freqs).astype(dtype)
         out = jnp.concatenate([d_emb, out], axis=-1)
         for _ in range(self.color_layers):
             out = nn.relu(nn.Dense(self.hidden_dim, dtype=dtype)(out))

@@ -156,6 +156,47 @@ def create_model(
     return coarse, fine, train_kwargs
 
 
+def add_baked_args(parser: argparse.ArgumentParser) -> None:
+    """Inference-only flags for the baked NGP representation
+    (``learn_nerf_tpu.baked``; render-family CLIs only)."""
+    parser.add_argument(
+        "--baked",
+        type=int,
+        default=None,
+        metavar="RESOLUTION",
+        help="bake the trained Instant-NGP spatial field onto a dense "
+        "RESOLUTION^3 grid at startup and render from it (one 8-corner "
+        "gather per sample instead of the full hash stack; requires "
+        "--instant_ngp --occupancy)",
+    )
+    parser.add_argument(
+        "--baked_dtype",
+        type=str,
+        default="bfloat16",
+        choices=("bfloat16", "float32"),
+        help="baked grid storage dtype (bfloat16 halves HBM)",
+    )
+
+
+def apply_baking(args, fine, params):
+    """Swap (fine model, field params) for their baked equivalents when
+    ``--baked`` is set.  Returns ``(model, field_params)`` either way."""
+    if not getattr(args, "baked", None):
+        return fine, params["fine"]
+    if not getattr(args, "occupancy", False):
+        raise SystemExit("--baked requires --occupancy")
+    import jax.numpy as jnp
+
+    from ..baked import bake_instant_ngp
+
+    return bake_instant_ngp(
+        fine,
+        params["fine"],
+        args.baked,
+        dtype=jnp.dtype(args.baked_dtype),
+    )
+
+
 def build_occupancy_renderer(args, metadata: ModelMetadata, fine, params):
     """Occupancy renderer + grid state from CLI args and a checkpoint.
 

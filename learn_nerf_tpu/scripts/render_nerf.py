@@ -19,8 +19,10 @@ from ..data.camera import CameraView
 from ..data.dataset import ModelMetadata
 from ..render import Renderer, render_frame
 from .common import (
+    add_baked_args,
     add_model_args,
     add_occupancy_args,
+    apply_baking,
     build_occupancy_renderer,
     create_model,
     seeded_key,
@@ -48,6 +50,7 @@ def base_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--model_path", type=str, default="nerf.pkl")
     add_model_args(parser)
     add_occupancy_args(parser)
+    add_baked_args(parser)
     return parser
 
 
@@ -88,12 +91,13 @@ class RenderSession:
         if getattr(args, "occupancy", False):
             from ..occ_render import OccupancyFrameSession
 
+            field_model, field_params = apply_baking(args, fine, params)
             self.renderer, grid_state = build_occupancy_renderer(
-                args, self.metadata, fine, params
+                args, self.metadata, field_model, params
             )
             self._frames = OccupancyFrameSession(
                 self.renderer,
-                params["fine"],
+                field_params,
                 self.background,
                 grid_state,
                 budget_cfg=getattr(args, "occ_budget_per_ray", None),

@@ -19,7 +19,14 @@ from ..checkpoint import load_params_pickle
 from ..data.camera import CameraView
 from ..data.dataset import ModelMetadata
 from ..render import Renderer, render_frame
-from .common import add_model_args, add_occupancy_args, create_model, seeded_key
+from .common import (
+    add_baked_args,
+    add_model_args,
+    add_occupancy_args,
+    apply_baking,
+    create_model,
+    seeded_key,
+)
 
 
 def main(argv=None):
@@ -35,6 +42,7 @@ def main(argv=None):
     parser.add_argument("--model_path", type=str, default="nerf.pkl")
     add_model_args(parser)
     add_occupancy_args(parser)
+    add_baked_args(parser)
     parser.add_argument("metadata_json", type=str)
     parser.add_argument("output_dir", type=str)
     args = parser.parse_args(argv)
@@ -64,12 +72,13 @@ def main(argv=None):
         from ..occ_render import OccupancyFrameSession
         from .common import build_occupancy_renderer
 
+        field_model, field_params = apply_baking(args, fine, params)
         occ_renderer, grid_state = build_occupancy_renderer(
-            args, metadata, fine, params
+            args, metadata, field_model, params
         )
         render = OccupancyFrameSession(
             occ_renderer,
-            params["fine"],
+            field_params,
             background,
             grid_state,
             budget_cfg=getattr(args, "occ_budget_per_ray", None),

@@ -1,0 +1,225 @@
+"""Baked inference representation tests (learn_nerf_tpu.baked).
+
+The bake sweeps the trained NGP spatial stack onto a dense lattice; at
+lattice vertices trilinear interpolation is exact, so the baked field
+must reproduce the live model there up to storage-dtype rounding — that
+equality also pins the color-head param mapping.  Off-lattice fidelity
+is resolution-dependent and is validated end-to-end on hardware
+(BASELINE.md); here we assert it is close for a smooth field.
+"""
+
+import numpy as np
+import pytest
+
+
+def _tiny_ngp(seed=0, density_dim=4, hidden=8):
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.models import InstantNGPModel
+
+    model = InstantNGPModel(
+        table_sizes=[256] * 4,
+        grid_sizes=[4, 4, 8, 8],
+        bbox_min=(-1.0, -1.0, -1.0),
+        bbox_max=(1.0, 1.0, 1.0),
+        hidden_dim=hidden,
+        density_dim=density_dim,
+    )
+    params = model.init(
+        dict(params=jax.random.PRNGKey(seed)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    return model, params
+
+
+def _random_dirs(n, seed=0):
+    rng = np.random.RandomState(seed)
+    d = rng.randn(n, 3).astype(np.float32)
+    return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def test_bake_exact_at_lattice_vertices():
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.baked import bake_instant_ngp
+
+    model, params = _tiny_ngp()
+    r = 9
+    baked, baked_params = bake_instant_ngp(
+        model, params, r, dtype=jnp.float32, verbose=False
+    )
+    assert baked_params["grid"].shape == (r**3, 4)
+
+    # All lattice vertices, random view directions.
+    ax = np.linspace(-1.0, 1.0, r).astype(np.float32)
+    pts = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1).reshape(-1, 3)
+    dirs = _random_dirs(pts.shape[0], seed=3)
+
+    ref_density, ref_color, _ = model.apply(
+        dict(params=params), jnp.asarray(pts), jnp.asarray(dirs)
+    )
+    baked_density, baked_color, _ = baked.apply(
+        dict(params=baked_params), jnp.asarray(pts), jnp.asarray(dirs)
+    )
+    np.testing.assert_allclose(
+        np.asarray(baked_density), np.asarray(ref_density), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(baked_color), np.asarray(ref_color), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_bake_close_off_lattice_and_bf16():
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.baked import bake_instant_ngp
+
+    model, params = _tiny_ngp(seed=1)
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(512, 3).astype(np.float32) * 2 - 1) * 0.95
+    dirs = _random_dirs(512, seed=1)
+    ref_density, ref_color, _ = model.apply(
+        dict(params=params), jnp.asarray(pts), jnp.asarray(dirs)
+    )
+
+    # Fine lattice: the random-init field is smooth (finest hash level 8),
+    # so a 65^3 bake interpolates it closely everywhere.
+    baked, bp = bake_instant_ngp(model, params, 65, dtype=jnp.float32, verbose=False)
+    d65, c65, _ = baked.apply(dict(params=bp), jnp.asarray(pts), jnp.asarray(dirs))
+    np.testing.assert_allclose(
+        np.asarray(d65), np.asarray(ref_density), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(c65), np.asarray(ref_color), rtol=0.0, atol=5e-3
+    )
+
+    # bf16 storage: same field at ~3 significant digits.
+    baked16, bp16 = bake_instant_ngp(model, params, 65, verbose=False)
+    assert bp16["grid"].dtype == jnp.bfloat16
+    d16, c16, _ = baked16.apply(dict(params=bp16), jnp.asarray(pts), jnp.asarray(dirs))
+    assert np.all(np.isfinite(np.asarray(d16)))
+    np.testing.assert_allclose(np.asarray(d16), np.asarray(d65), rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(c16), np.asarray(c65), atol=3e-2)
+
+
+def test_bake_rejects_non_ngp():
+    import jax
+
+    from learn_nerf_tpu.baked import bake_instant_ngp
+    from learn_nerf_tpu.models import NeRFModel
+
+    model = NeRFModel(hidden_dim=8, color_layer_dim=8, input_layers=1, mid_layers=1)
+    with pytest.raises(ValueError):
+        bake_instant_ngp(model, {}, 9)
+
+
+def test_baked_field_through_pooled_frame():
+    """The baked model drops into the occupancy frame renderer unchanged
+    and reproduces the live model's frame within interpolation error."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.baked import bake_instant_ngp
+    from learn_nerf_tpu.occ_render import OccupancyRenderer, render_frame_occupancy
+
+    model, params = _tiny_ngp(seed=2)
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    grid_state = grid.init()
+    background = jnp.asarray([0.1, 0.2, -0.3])
+
+    rng = np.random.RandomState(7)
+    origins = rng.randn(96, 3).astype(np.float32) * 3
+    dirs = -origins / np.linalg.norm(origins, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.stack([origins, dirs], axis=1))
+    key = jax.random.PRNGKey(0)
+
+    def frame(field_model, field_params):
+        renderer = OccupancyRenderer(
+            model=field_model, grid=grid,
+            bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+            candidates=32, samples=16,
+        )
+        return render_frame_occupancy(
+            renderer, key, rays, field_params, background, grid_state,
+            tile_size=32, budget_per_ray=16.0,
+        )
+
+    live = frame(model, params)
+    baked, bp = bake_instant_ngp(model, params, 65, dtype=jnp.float32, verbose=False)
+    b = frame(baked, bp)
+    assert int(b["dropped"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(b["outputs"]), np.asarray(live["outputs"]), atol=5e-3
+    )
+
+
+def test_render_cli_baked(tmp_path):
+    """render_nerf --baked end to end: bake at startup, render a frame."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.scripts import render_nerf
+
+    path = tmp_path / "m.pkl"
+
+    import json
+
+    meta = tmp_path / "metadata.json"
+    json.dump(dict(min=[-1.0] * 3, max=[1.0] * 3), open(meta, "w"))
+    view = tmp_path / "view.json"
+    json.dump(
+        dict(
+            origin=[0.0, 0.0, 3.0],
+            x=[1.0, 0.0, 0.0],
+            y=[0.0, 1.0, 0.0],
+            z=[0.0, 0.0, -1.0],
+            x_fov=0.8,
+            y_fov=0.8,
+        ),
+        open(view, "w"),
+    )
+    out = tmp_path / "out.png"
+    argv = [
+        "--seed", "0", "--batch_size", "64", "--width", "16", "--height", "16",
+        "--model_path", str(path), "--occupancy",
+        "--occ_candidates", "32", "--occ_samples", "16", "--occ_grid", "8",
+        "--occ_budget_per_ray", "auto",
+        "--baked", "17", "--baked_dtype", "float32",
+    ]
+
+    # The CLI builds the model from its own factory, so the checkpoint
+    # must match create_model's NGP architecture.
+    from argparse import Namespace
+
+    from learn_nerf_tpu.data.dataset import ModelMetadata
+    from learn_nerf_tpu.scripts.common import create_model
+
+    args = Namespace(instant_ngp=True, ref_nerf=False, bf16=False)
+    metadata = ModelMetadata(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1))
+    coarse_m, fine_m, _ = create_model(args, metadata)
+    fine_params = fine_m.init(
+        dict(params=jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    coarse_params = coarse_m.init(
+        dict(params=jax.random.PRNGKey(1)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    ckpt = dict(
+        coarse=coarse_params,
+        fine=fine_params,
+        background=np.zeros(3, np.float32),
+        occupancy_densities=np.full(8**3, 1.0, np.float32),
+        occupancy_resolution=np.int32(8),
+    )
+    with open(path, "wb") as f:
+        pickle.dump(ckpt, f)
+
+    render_nerf.main(
+        argv + ["--instant_ngp", str(meta), str(view), str(out)]
+    )
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (16, 16, 3)
