@@ -160,6 +160,43 @@ def test_llff_standin_capture_roundtrip(tmp_path):
         np.testing.assert_array_equal(view.image(), expect)
 
 
+def test_blender_standin_capture_roundtrip(tmp_path):
+    """Blender-protocol stand-in -> convert/blender.py -> dataset whose
+    cameras reproduce the ground-truth renders exactly (the Blender
+    counterpart of the LLFF round trip above)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cap, out = str(tmp_path / "cap"), str(tmp_path / "data")
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools/make_blender_standin.py"),
+            cap, "32", "6",
+        ],
+        check=True,
+        capture_output=True,
+        env=dict(
+            os.environ,
+            PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        ),
+    )
+    from learn_nerf_tpu.convert import blender
+
+    blender.main(["--split", "train", cap, out])
+
+    from learn_nerf_tpu.data.dataset import load_dataset
+    from tests.synthetic_scene import cube_color
+
+    data = load_dataset(out)
+    assert len(data.views) == 6
+    for view in data.views[:3]:
+        rays = view.bare_rays(32, 32)
+        expect = cube_color(rays[:, 0], rays[:, 1]).reshape(32, 32, 3)
+        np.testing.assert_array_equal(view.image(), expect)
+
+
 REFERENCE_CONVERTERS = "/root/reference/convert_dataset"
 
 
