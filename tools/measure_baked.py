@@ -1,0 +1,124 @@
+"""Measure the baked NGP frame renderer vs the live hash stack.
+
+For VERDICT round 3 #1: 800x800 full-quality NGP frame on ONE chip, baked
+PSNR within 0.1 dB of the unbaked render.  Renders the same view with the
+same PRNG key through the live pooled path and through ``--baked`` at one
+or more resolutions, timing steady-state frames (host-fetch synchronized;
+block_until_ready is unreliable on this backend) and reporting PSNR of
+baked vs live (same key -> identical candidate jitter, so the PSNR
+isolates bake interpolation error).
+
+Usage:
+  python tools/measure_baked.py CKPT METADATA VIEW [--size 800]
+      [--resolutions 384,512] [--budget 10] [--eps 1e-2] [--reps 3]
+      [--dtype bfloat16]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def psnr(a, b):
+    import numpy as np
+
+    mse = float(((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean())
+    return float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt")
+    p.add_argument("metadata_json")
+    p.add_argument("view_json")
+    p.add_argument("--size", type=int, default=800)
+    p.add_argument("--resolutions", type=str, default="384,512")
+    p.add_argument("--budget", type=float, default=10.0)
+    p.add_argument("--candidates", type=int, default=192)
+    p.add_argument("--samples", type=int, default=32)
+    p.add_argument("--eps", type=float, default=1e-2)
+    p.add_argument("--tile", type=int, default=8192)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from learn_nerf_tpu.baked import bake_instant_ngp
+    from learn_nerf_tpu.checkpoint import load_params_pickle
+    from learn_nerf_tpu.data.camera import CameraView
+    from learn_nerf_tpu.data.dataset import ModelMetadata
+    from learn_nerf_tpu.models import InstantNGPModel
+    from learn_nerf_tpu.occ_render import OccupancyFrameSession, OccupancyRenderer
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+
+    metadata = ModelMetadata.from_json(args.metadata_json)
+    params = load_params_pickle(args.ckpt)
+    bbox = dict(
+        bbox_min=tuple(metadata.bbox_min), bbox_max=tuple(metadata.bbox_max)
+    )
+    model = InstantNGPModel(
+        table_sizes=[2**18] * 16,
+        grid_sizes=[2 ** (4 + i // 2) for i in range(16)],
+        **bbox,
+    )
+    grid = OccupancyGrid(
+        resolution=int(params.get("occupancy_resolution", 128)), **bbox
+    )
+    grid_state = grid.state_from_checkpoint(params)
+    background = jnp.asarray(params["background"], dtype=jnp.float32)
+    view = CameraView.from_json(args.view_json)
+    rays = view.bare_rays(args.size, args.size)
+    key = jax.random.PRNGKey(0)
+
+    def renderer_for(field_model):
+        return OccupancyRenderer(
+            model=field_model, grid=grid,
+            candidates=args.candidates, samples=args.samples, **bbox,
+        )
+
+    def timed_frames(tag, field_model, field_params):
+        session = OccupancyFrameSession(
+            renderer_for(field_model), field_params, background, grid_state,
+            budget_cfg=args.budget, tile_size=args.tile,
+            transmittance_eps=args.eps,
+        )
+        out = session.render(key, rays)  # compile + warmup
+        img = np.asarray(out["outputs"])
+        dropped, selected = int(out["dropped"]), int(out["selected"])
+        t0 = time.time()
+        for _ in range(args.reps):
+            out = session.render(key, rays)
+            float(jnp.sum(out["outputs"]))  # host fetch = sync
+        per_frame = (time.time() - t0) / args.reps
+        u8 = ((img.reshape(args.size, args.size, 3) + 1) * 127.5).astype(np.uint8)
+        print(
+            f"{tag}: {per_frame:.3f} s/frame "
+            f"({args.size * args.size / per_frame:,.0f} rays/s), "
+            f"dropped {dropped}/{selected}",
+            flush=True,
+        )
+        return u8, per_frame
+
+    live_img, live_t = timed_frames("live", model, params["fine"])
+
+    for r in [int(x) for x in args.resolutions.split(",") if x]:
+        baked, baked_params = bake_instant_ngp(
+            model, params["fine"], r, dtype=jnp.dtype(args.dtype)
+        )
+        img, t = timed_frames(f"baked_{r}", baked, baked_params)
+        print(
+            f"baked_{r}: PSNR vs live {psnr(img, live_img):.2f} dB, "
+            f"speedup {live_t / t:.2f}x",
+            flush=True,
+        )
+        del baked_params
+
+
+if __name__ == "__main__":
+    main()
