@@ -1,19 +1,25 @@
-"""Headline benchmark: training throughput (rays/sec) on the flagship
-Instant-NGP model with occupancy-grid accelerated sampling, versus the
-reference implementation measured on the SAME chip (BASELINE.md).
+"""Headline benchmark + roofline report.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The headline metric is training throughput (rays/sec) of the flagship
+Instant-NGP model with occupancy-grid accelerated sampling, versus the
+reference implementation measured on the SAME chip (BASELINE.md).  The
+same line carries a ``submetrics`` object with the two parity workloads
+(identical sample counts to the reference) and, where the backend
+exposes XLA cost analysis, each config's roofline numbers (achieved
+TFLOP/s, MFU, HBM GB/s, and which resource binds — VERDICT round 2
+asked for the vanilla MXU-utilization statement to be first-class bench
+output, not an env-var side mode).
 
 Workload: batch 4096 rays/step (reference default,
-``learn_nerf/scripts/train_nerf.py:24``).  The reference densely evaluates
-its coarse(64) + fine(192-sample) hierarchy; ours occupancy-culls 192
-candidates to 32 field samples per ray (matched quality — skipped cells are
-empty; see tests/test_occupancy.py and VERIFY notes).  Timing includes the
-amortized occupancy-grid updates (every 16 steps) and forces host fetches
+``learn_nerf/scripts/train_nerf.py:24``).  The reference densely
+evaluates its coarse(64) + fine(192-sample) hierarchy; the occupancy
+config culls 192 candidates to 32 field samples per ray (matched
+quality; tests/test_occupancy.py).  Timing includes the amortized
+occupancy-grid updates (every 16 steps) and forces host fetches
 (block_until_ready is unreliable on this backend).
 
-Set BENCH_MODE=parity to instead measure the dense hierarchical workload
-(identical sample counts to the reference).
+BENCH_MODE: "all" (default) | "occupancy" | "parity" | "vanilla".
 """
 
 import json
@@ -50,13 +56,13 @@ def ngp_model(levels):
 
 
 def run_steps(loop, batch, steps, warmup):
+    """Steady-state rays/sec of the production hot loop (step_auto)."""
     import jax
 
-    # The production hot loop: batch sharded onto the mesh once (the train
-    # CLI double-buffers transfers, so steady state never waits on input),
-    # per-step keys derived inside the jitted step (loop.step_auto).  The
-    # reference baseline was measured symmetrically with a device-resident
-    # batch (tools/measure_reference.py).
+    # Batch sharded onto the mesh once (the train CLI double-buffers
+    # transfers, so steady state never waits on input), per-step keys
+    # derived inside the jitted step.  The reference baseline was measured
+    # symmetrically with a device-resident batch (tools/measure_reference.py).
     base_key = jax.random.PRNGKey(1)
     batch = loop.shard_batch(batch)
     values = None
@@ -68,7 +74,33 @@ def run_steps(loop, batch, steps, warmup):
     for _ in range(steps):
         values = loop.step_auto(base_key, batch)
     float(values["fine"])
-    return BATCH * steps / (time.time() - t0)
+    elapsed = time.time() - t0
+    return BATCH * steps / elapsed, elapsed / steps
+
+
+def step_roofline(loop, batch, step_seconds, extra_args=()):
+    """Roofline numbers for the loop's jitted hot step, if the backend
+    exposes XLA cost analysis (omitted otherwise)."""
+    import jax
+
+    from learn_nerf_tpu.utils.flops import compiled_cost, roofline
+
+    batch = loop.shard_batch(batch)
+    key = jax.random.PRNGKey(1)
+    try:
+        lowered = loop._auto_step_fn.lower(loop.state, key, batch, *extra_args)
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        if not analysis or float(analysis.get("flops", 0.0)) <= 0.0:
+            return {}
+        cost = dict(
+            flops=float(analysis["flops"]),
+            bytes=float(analysis.get("bytes accessed", 0.0)),
+        )
+    except Exception:
+        return {}
+    return roofline(cost, step_seconds)
 
 
 def bench_occupancy():
@@ -91,7 +123,12 @@ def bench_occupancy():
     )
     batch = make_batch(np.random.RandomState(0))
     # 32 steps include two grid updates -> amortized update cost measured.
-    return run_steps(loop, batch, steps=32, warmup=4)
+    rays, secs = run_steps(loop, batch, steps=32, warmup=4)
+    return dict(
+        rays_per_sec=round(rays, 1),
+        vs_reference_ngp=round(rays / REFERENCE_NGP_RAYS_PER_SEC, 3),
+        **step_roofline(loop, batch, secs, extra_args=(loop.grid_state,)),
+    )
 
 
 def bench_parity():
@@ -112,26 +149,73 @@ def bench_parity():
         adam_b2=0.99,
     )
     batch = make_batch(np.random.RandomState(0))
-    return run_steps(loop, batch, steps=10, warmup=3)
+    rays, secs = run_steps(loop, batch, steps=10, warmup=3)
+    return dict(
+        rays_per_sec=round(rays, 1),
+        vs_reference_ngp=round(rays / REFERENCE_NGP_RAYS_PER_SEC, 3),
+        **step_roofline(loop, batch, secs),
+    )
+
+
+def bench_vanilla():
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import TrainLoop
+
+    loop = TrainLoop(
+        NeRFModel(),
+        NeRFModel(),
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-4,
+        coarse_ts=64,
+        fine_ts=128,
+        bbox_min=(-1.0, -1.0, -1.0),
+        bbox_max=(1.0, 1.0, 1.0),
+    )
+    batch = make_batch(np.random.RandomState(0))
+    rays, secs = run_steps(loop, batch, steps=12, warmup=3)
+    return dict(
+        rays_per_sec=round(rays, 1),
+        vs_reference_vanilla=round(rays / REFERENCE_VANILLA_RAYS_PER_SEC, 3),
+        **step_roofline(loop, batch, secs),
+    )
 
 
 def main():
-    mode = os.environ.get("BENCH_MODE", "occupancy")
-    if mode == "parity":
-        rays_per_sec = bench_parity()
-        metric = "train_rays_per_sec_instant_ngp_parity"
-        unit = "rays/sec/chip (batch 4096, dense 64c+192f samples)"
-    else:
-        rays_per_sec = bench_occupancy()
+    mode = os.environ.get("BENCH_MODE", "all")
+    sub = {}
+    if mode in ("all", "occupancy"):
+        sub["instant_ngp_occupancy"] = bench_occupancy()
+    if mode in ("all", "parity"):
+        sub["instant_ngp_parity"] = bench_parity()
+    if mode in ("all", "vanilla"):
+        sub["vanilla_parity"] = bench_vanilla()
+
+    if "instant_ngp_occupancy" in sub:
+        headline = sub["instant_ngp_occupancy"]
         metric = "train_rays_per_sec_instant_ngp"
         unit = "rays/sec/chip (batch 4096, occupancy-culled 192->32 samples)"
+        vs = headline["vs_reference_ngp"]
+    elif "instant_ngp_parity" in sub:
+        headline = sub["instant_ngp_parity"]
+        metric = "train_rays_per_sec_instant_ngp_parity"
+        unit = "rays/sec/chip (batch 4096, dense 64c+192f samples)"
+        vs = headline["vs_reference_ngp"]
+    else:
+        headline = sub["vanilla_parity"]
+        metric = "train_rays_per_sec_vanilla_parity"
+        unit = "rays/sec/chip (batch 4096, dense 64c+192f samples)"
+        vs = headline["vs_reference_vanilla"]
+
     print(
         json.dumps(
             dict(
                 metric=metric,
-                value=round(rays_per_sec, 1),
+                value=headline["rays_per_sec"],
                 unit=unit,
-                vs_baseline=round(rays_per_sec / REFERENCE_NGP_RAYS_PER_SEC, 3),
+                vs_baseline=vs,
+                submetrics=sub,
             )
         )
     )

@@ -1,0 +1,53 @@
+"""bench.py helpers: roofline accounting against XLA cost analysis."""
+
+import numpy as np
+
+
+def test_step_roofline_reports_cost():
+    """step_roofline extracts FLOPs/bytes from the compiled hot step and
+    reports roofline numbers (CPU backend exposes cost analysis; on
+    backends that don't, it degrades to {} and bench omits MFU)."""
+    import jax
+
+    import bench
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import TrainLoop
+
+    loop = TrainLoop(
+        NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1),
+        NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1),
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-3,
+        coarse_ts=4,
+        fine_ts=4,
+        bbox_min=(-1.0, -1.0, -1.0),
+        bbox_max=(1.0, 1.0, 1.0),
+    )
+    rng = np.random.RandomState(0)
+    batch = np.stack(
+        [
+            rng.randn(32, 3).astype(np.float32),
+            rng.randn(32, 3).astype(np.float32),
+            rng.rand(32, 3).astype(np.float32),
+        ],
+        axis=1,
+    )
+    out = bench.step_roofline(loop, batch, step_seconds=0.01)
+    if out:  # cost analysis available on this backend
+        assert out["tflops"] >= 0
+        assert 0 <= out["mfu"] <= 1e4  # vs TPU peak; CPU runs are tiny
+        assert out["bound"] in ("compute", "memory")
+
+
+def test_roofline_math():
+    from learn_nerf_tpu.utils.flops import roofline
+
+    out = roofline(dict(flops=1.97e12, bytes=8.19e9), seconds=0.1)
+    assert out["tflops"] == 19.7
+    assert out["mfu"] == 0.1
+    assert out["gbps"] == 81.9
+    assert out["bw_util"] == 0.1
+    assert out["bound"] == "compute"
+    assert roofline(None, 0.1) == {}
+    out2 = roofline(dict(flops=1.0, bytes=8.19e11), seconds=1.0)
+    assert out2["bound"] == "memory"
