@@ -83,4 +83,19 @@ timeout 2400 python -m learn_nerf_tpu.scripts.eval_psnr --batch_size 4096 --inst
 sleep 60
 timeout 3600 python -m learn_nerf_tpu.scripts.eval_psnr --batch_size 4096 --ref_nerf \
   --model_path runs/ref_refnerf.pkl runs/scene_shiny_test > runs/eval_ref_refnerf.log 2>&1
+sleep 60
+
+# ---- 7. Blender-protocol converted-scene train+eval (VERDICT #4) -----------
+env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/make_blender_standin.py \
+  runs/blender_capture 64 40 > runs/blender_e2e.log 2>&1
+env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m learn_nerf_tpu.convert.blender \
+  --split train runs/blender_capture runs/scene_blender_train >> runs/blender_e2e.log 2>&1
+env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m learn_nerf_tpu.convert.blender \
+  --split test runs/blender_capture runs/scene_blender_test >> runs/blender_e2e.log 2>&1
+timeout 1800 python -m learn_nerf_tpu.scripts.train_nerf --batch_size 1024 --lr 2e-3 --seed 0 \
+  --occupancy --occ_candidates 64 --occ_samples 24 --occ_grid 64 --steps 1000 \
+  --save_path runs/blender_e2e.pkl runs/scene_blender_train >> runs/blender_e2e.log 2>&1
+sleep 30
+timeout 1200 python -m learn_nerf_tpu.scripts.eval_psnr --batch_size 4096 --occupancy \
+  --model_path runs/blender_e2e.pkl runs/scene_blender_test >> runs/blender_e2e.log 2>&1
 echo QUEUE7 DONE
