@@ -176,6 +176,13 @@ def add_baked_args(parser: argparse.ArgumentParser) -> None:
         choices=("bfloat16", "float32"),
         help="baked grid storage dtype (bfloat16 halves HBM)",
     )
+    parser.add_argument(
+        "--baked_cache",
+        action="store_true",
+        help="cache the baked grid to <model_path>.baked<R>.<dtype>.npz "
+        "and reuse it while it is newer than the checkpoint (skips the "
+        "bake sweep on later sessions)",
+    )
 
 
 def apply_baking(args, fine, params):
@@ -185,16 +192,78 @@ def apply_baking(args, fine, params):
         return fine, params["fine"]
     if not getattr(args, "occupancy", False):
         raise SystemExit("--baked requires --occupancy")
+    import os
+
     import jax.numpy as jnp
 
     from ..baked import bake_instant_ngp
 
-    return bake_instant_ngp(
+    cache_path = None
+    if getattr(args, "baked_cache", False):
+        cache_path = (
+            f"{args.model_path}.baked{args.baked}.{args.baked_dtype}.npz"
+        )
+        ckpt_mtime = os.path.getmtime(args.model_path)
+        if (
+            os.path.exists(cache_path)
+            and os.path.getmtime(cache_path) >= ckpt_mtime
+        ):
+            import numpy as np
+
+            from ..baked import BakedInstantNGP
+
+            data = np.load(cache_path)
+            raw = data["grid"]
+            if args.baked_dtype == "bfloat16":
+                # Stored as raw uint16 bits (np.savez has no bfloat16);
+                # reinterpret, don't convert.
+                import ml_dtypes
+
+                raw = raw.view(ml_dtypes.bfloat16)
+            baked_params = {"grid": jnp.asarray(raw)}
+            i = 0
+            while f"Dense_{i}_kernel" in data:
+                baked_params[f"Dense_{i}"] = dict(
+                    kernel=jnp.asarray(data[f"Dense_{i}_kernel"]),
+                    bias=jnp.asarray(data[f"Dense_{i}_bias"]),
+                )
+                i += 1
+            baked = BakedInstantNGP(
+                resolution=args.baked,
+                bbox_min=tuple(fine.bbox_min),
+                bbox_max=tuple(fine.bbox_max),
+                d_freqs=fine.d_freqs,
+                hidden_dim=fine.hidden_dim,
+                density_dim=fine.density_dim,
+                color_layers=fine.color_layers,
+            )
+            print(f"loaded baked grid cache: {cache_path}", flush=True)
+            return baked, baked_params
+
+    baked, baked_params = bake_instant_ngp(
         fine,
         params["fine"],
         args.baked,
         dtype=jnp.dtype(args.baked_dtype),
     )
+    if cache_path is not None:
+        import jax
+        import numpy as np
+
+        host = jax.device_get(baked_params)
+        arrays = {"grid": np.asarray(host["grid"]).view(np.uint16)
+                  if host["grid"].dtype == jnp.bfloat16
+                  else np.asarray(host["grid"])}
+        # np.savez has no bfloat16: store the raw bits; the loader casts
+        # back through the view.
+        i = 0
+        while f"Dense_{i}" in host:
+            arrays[f"Dense_{i}_kernel"] = np.asarray(host[f"Dense_{i}"]["kernel"])
+            arrays[f"Dense_{i}_bias"] = np.asarray(host[f"Dense_{i}"]["bias"])
+            i += 1
+        np.savez(cache_path, **arrays)
+        print(f"wrote baked grid cache: {cache_path}", flush=True)
+    return baked, baked_params
 
 
 def build_occupancy_renderer(args, metadata: ModelMetadata, fine, params):

@@ -223,3 +223,42 @@ def test_render_cli_baked(tmp_path):
 
     img = np.asarray(Image.open(out))
     assert img.shape == (16, 16, 3)
+
+
+def test_baked_cache_roundtrip(tmp_path, capsys):
+    """--baked_cache writes an npz next to the checkpoint and a second
+    session reloads it bit-for-bit (incl. the bf16 raw-bits round trip)."""
+    import pickle
+    from argparse import Namespace
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from learn_nerf_tpu.scripts.common import apply_baking
+
+    model, params = _tiny_ngp(seed=5)
+    ckpt_path = tmp_path / "m.pkl"
+    with open(ckpt_path, "wb") as f:
+        pickle.dump(dict(fine=jax.device_get(params)), f)
+
+    args = Namespace(
+        baked=9, baked_dtype="bfloat16", baked_cache=True,
+        occupancy=True, model_path=str(ckpt_path),
+    )
+    baked1, p1 = apply_baking(args, model, dict(fine=params))
+    assert "wrote baked grid cache" in capsys.readouterr().out
+
+    baked2, p2 = apply_baking(args, model, dict(fine=params))
+    assert "loaded baked grid cache" in capsys.readouterr().out
+    assert p2["grid"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(p1["grid"]).view(np.uint16),
+        np.asarray(p2["grid"]).view(np.uint16),
+    )
+    pts = jnp.asarray(np.random.RandomState(0).rand(64, 3).astype(np.float32))
+    dirs = jnp.asarray(_random_dirs(64, seed=2))
+    d1, c1, _ = baked1.apply(dict(params=p1), pts, dirs)
+    d2, c2, _ = baked2.apply(dict(params=p2), pts, dirs)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
