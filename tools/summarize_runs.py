@@ -57,6 +57,10 @@ def main():
         ("reference Instant-NGP (dense 64c+192f)", "ref_ngp", "eval_ref_ngp"),
         ("ours Instant-NGP + occupancy", "ours_ngp", "eval_ours_ngp"),
         ("ours Instant-NGP + occupancy, pooled train", "ours_ngp_pooled", None),
+        ("reference Ref-NeRF (dense 64c+192f)", "ref_refnerf", "eval_ref_refnerf"),
+        ("ours Ref-NeRF + occupancy", "ours_refnerf_1500", "eval_ours_refnerf_1500"),
+        ("ours NGP x Ref-NeRF + occupancy", "ours_ngpref", "eval_ours_ngpref"),
+        ("reference NGP x Ref-NeRF (dense)", "ref_ngpref", "eval_ref_ngpref"),
     ]
     print("| config | rays/sec (end-to-end) | final fine MSE | test PSNR |")
     print("|---|---|---|---|")
