@@ -56,6 +56,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def macro_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a ``[k, N, ...]`` multi-step batch over rays (axis 1); the
+    leading scan axis stays replicated."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def global_batch_from_local(mesh: Mesh, local_batch: np.ndarray) -> jax.Array:
     """Assemble a globally-sharded batch from this process's local rows.
 

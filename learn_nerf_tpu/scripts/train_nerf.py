@@ -62,6 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--profile_dir", type=str, default=None, help="capture a profiler trace here"
     )
+    parser.add_argument(
+        "--steps_per_dispatch",
+        type=int,
+        default=1,
+        help="occupancy hot loop only: run this many training steps (and "
+        "their grid-refresh cadence) per device dispatch via lax.scan — "
+        "amortizes the per-dispatch relay round trip on remote TPU "
+        "runtimes; identical numerics to per-step dispatch",
+    )
     # Multi-host data parallelism (jax.distributed; each process loads its
     # own view subset — see data.shuffle and parallel.mesh).
     parser.add_argument("--coordinator_address", type=str, default=None)
@@ -161,7 +170,14 @@ def main(argv=None):
             args.test_batch_size,
         )
 
-    logger = MetricLogger(rays_per_step=args.batch_size)
+    k = args.steps_per_dispatch
+    if k > 1 and (args.test_data_dir is not None or not args.occupancy):
+        raise SystemExit(
+            "--steps_per_dispatch > 1 requires --occupancy and no "
+            "--test_data_dir (the per-step test-loss path keeps per-step "
+            "dispatch)"
+        )
+    logger = MetricLogger(rays_per_step=args.batch_size * k)
     profile_ctx = None
     if args.profile_dir:
         from ..utils.profiling import profile_trace
@@ -177,6 +193,41 @@ def main(argv=None):
 
     use_auto = test_iterator is None
     base_key, key = jax.random.split(key)
+    if k > 1:
+        import itertools
+
+        import numpy as np
+
+        def chunked(it):
+            while True:
+                stack = list(itertools.islice(it, k))
+                if len(stack) < k:
+                    return
+                yield np.stack(stack)
+
+        macro_batches = prefetch_to_device(
+            chunked(data.iterate_batches(shuffle_dir, data_seed, args.batch_size)),
+            loop.shard_batches,
+        )
+        try:
+            for i, macro in enumerate(macro_batches):
+                losses = loop.step_auto_many(base_key, macro)
+                step = (i + 1) * k - 1
+                logger.log_step(step, losses)
+                if step and (step + 1) % args.save_interval < k:
+                    loop.save(args.save_path)
+                    if args.full_state_path and hasattr(loop, "save_full"):
+                        loop.save_full(args.full_state_path)
+                if args.steps is not None and step + 1 >= args.steps:
+                    break
+        finally:
+            logger.flush()
+            if profile_ctx is not None:
+                profile_ctx.__exit__(None, None, None)
+        loop.save(args.save_path)
+        if args.full_state_path and hasattr(loop, "save_full"):
+            loop.save_full(args.full_state_path)
+        return
     batches = prefetch_to_device(
         data.iterate_batches(shuffle_dir, data_seed, args.batch_size),
         loop.shard_batch,

@@ -544,6 +544,58 @@ class OccupancyTrainLoop:
         self._pooled_step_fn = step_pooled
         self._auto_pooled_step_fn = step_pooled_auto
 
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(2,))
+        def step_auto_scan(state, grid_state, budget, base_key, batches):
+            # K training steps + their grid-refresh cadence as ONE device
+            # program (lax.scan): on remote-TPU runtimes every dispatch is
+            # a relay round trip, so amortizing K steps per dispatch
+            # recovers the gap between device-bound and end-to-end
+            # throughput.  Key derivation and refresh cadence are
+            # identical to the per-step path (keys fold state.step under
+            # tag 0, refresh keys fold it under tag 1; refresh fires
+            # BEFORE the step whenever state.step % update_interval == 0),
+            # so K scanned steps produce bit-identical state to K
+            # step_auto calls whenever the loop's host counter equals the
+            # optimizer step (fresh runs and full-state resumes; tested).
+            def body(carry, batch):
+                state, grid_state = carry
+
+                def refresh(gs):
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(base_key, 1), state.step
+                    )
+                    return self.grid.update(
+                        gs,
+                        self.model,
+                        state.params["fine"],
+                        key,
+                        num_cells=self.update_cells,
+                    )
+
+                grid_state = jax.lax.cond(
+                    state.step % self.update_interval == 0,
+                    refresh,
+                    lambda gs: gs,
+                    grid_state,
+                )
+                key = jax.random.fold_in(
+                    jax.random.fold_in(base_key, 0), state.step
+                )
+                if budget is None:
+                    state, values = step_body(state, key, batch, grid_state)
+                else:
+                    state, values = pooled_body(
+                        state, key, batch, grid_state, budget
+                    )
+                return (state, grid_state), values
+
+            (state, grid_state), values = jax.lax.scan(
+                body, (state, grid_state), batches
+            )
+            return state, grid_state, values
+
+        self._scan_step_fn = step_auto_scan
+
         @partial(jax.jit, donate_argnums=0, static_argnums=3)
         def update_grid(grid_state, params, key, num_cells):
             return self.grid.update(
@@ -672,6 +724,46 @@ class OccupancyTrainLoop:
                 self.state, base_key, b, self.grid_state, budget
             ),
         )
+
+    def shard_batches(self, batches) -> jax.Array:
+        """Place a ``[k, N, 3, 3]`` multi-step batch onto the mesh (rays
+        sharded over axis 1, scan axis replicated)."""
+        if isinstance(batches, jax.Array):
+            return batches
+        from .parallel.mesh import macro_batch_sharding
+
+        sharding = macro_batch_sharding(self.mesh)
+        local = np.asarray(batches)
+        if jax.process_count() == 1:
+            return jax.device_put(local, sharding)
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    def step_auto_many(self, base_key: jax.Array, batches) -> Dict[str, Array]:
+        """K hot-loop steps (plus their grid-refresh cadence) in ONE
+        device dispatch — ``lax.scan`` inside the jit.  Semantically
+        identical to K :meth:`step_auto` calls when the loop's host
+        counter equals the optimizer step (fresh runs / full-state
+        resumes; the pickle-resume path syncs the counter too).  The
+        pooled-vs-dense choice and the auto budget hold for the whole
+        macro step (the budget re-measure cadence rounds up to macro
+        boundaries).  Returns the LAST step's logging dict.
+
+        :param batches: ``[k, N, 3, 3]`` stacked ray batches.
+        """
+        batches = self.shard_batches(batches)
+        k = batches.shape[0]
+        if (
+            self.pool_budget_per_ray is not None
+            and self._host_step >= self.pool_start_step
+        ):
+            budget = int(batches.shape[1] * self._resolve_pool_budget(batches[0]))
+        else:
+            budget = None
+        self.state, self.grid_state, values = self._scan_step_fn(
+            self.state, self.grid_state, budget, base_key, batches
+        )
+        self._host_step += k
+        return {name: vals[-1] for name, vals in values.items()}
 
     def eval_losses(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
         if not hasattr(self, "_eval_fn"):

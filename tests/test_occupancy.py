@@ -1027,3 +1027,76 @@ def test_pickle_resume_keeps_loop_cadence(tmp_path):
     b._auto_step_fn = boom
     b.step_auto(base_key, batch)
     assert b._host_step == 6
+
+
+def test_step_auto_many_matches_per_step():
+    """K scanned steps in one dispatch (step_auto_many) produce the same
+    params, grid state, and metrics as K step_auto dispatches — including
+    the in-scan grid-refresh cadence and the pooled switchover."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    def make_loop():
+        model, _ = _small_model_and_params()
+        return OccupancyTrainLoop(
+            model,
+            init_rng=jax.random.PRNGKey(0),
+            lr=1e-3,
+            bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1),
+            candidates=16,
+            samples=8,
+            grid_resolution=8,
+            update_interval=4,
+            update_cells=64,
+            pool_budget_per_ray=4.0,
+            pool_start_step=4,
+            grid_warmup_updates=1,
+        )
+
+    rng = np.random.RandomState(0)
+    steps = 8
+    batches = np.stack(
+        [
+            np.concatenate(
+                [_random_rays(16, seed=s), rng.rand(16, 1, 3).astype(np.float32)],
+                axis=1,
+            )
+            for s in range(steps)
+        ]
+    )
+    base_key = jax.random.PRNGKey(5)
+
+    a = make_loop()
+    last = None
+    for s in range(steps):
+        last = a.step_auto(base_key, batches[s])
+
+    b = make_loop()
+    # Two macro dispatches of 4: dense (steps 0-3), pooled (steps 4-7).
+    vals = None
+    for chunk in (batches[:4], batches[4:]):
+        vals = b.step_auto_many(base_key, chunk)
+
+    assert a._host_step == b._host_step == steps
+    assert int(a.state.step) == int(b.state.step) == steps
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7
+        ),
+        jax.device_get(a.state.params),
+        jax.device_get(b.state.params),
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.grid_state.densities),
+        np.asarray(b.grid_state.densities),
+        rtol=1e-6,
+    )
+    assert int(a.grid_state.step) == int(b.grid_state.step)
+    for name in last:
+        np.testing.assert_allclose(
+            float(last[name]), float(vals[name]), rtol=1e-5,
+            err_msg=name,
+        )

@@ -63,6 +63,13 @@ timeout 3600 python tools/measure_baked.py runs/ours_ngp_long.pkl \
   > runs/measure_baked.log 2>&1
 sleep 60
 
+# ---- 0.6 multi-step dispatch training throughput ---------------------------
+timeout 1800 python -m learn_nerf_tpu.scripts.train_nerf --instant_ngp --batch_size 4096 \
+  --lr 1e-2 --seed 0 --occupancy --occ_train_budget 12 --occ_train_budget_start 400 \
+  --steps_per_dispatch 8 --steps 1600 \
+  --save_path runs/ours_ngp_scan8.pkl runs/scene_train > runs/ours_ngp_scan8.log 2>&1
+sleep 60
+
 # ---- 1-6. head-to-head comparisons ----------------------------------------
 timeout 3600 python -m learn_nerf_tpu.scripts.train_nerf --ref_nerf --batch_size 4096 \
   --lr 1e-4 --seed 0 --occupancy --steps 1500 \
