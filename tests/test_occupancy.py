@@ -1100,3 +1100,38 @@ def test_step_auto_many_matches_per_step():
             float(last[name]), float(vals[name]), rtol=1e-5,
             err_msg=name,
         )
+
+
+def test_frame_session_auto_escalates_on_underestimate(monkeypatch, capsys):
+    """If the measured-demand sizing still overflows (demand is a mean),
+    auto mode escalates the bucket and re-renders until drop-free."""
+    import jax
+    import jax.numpy as jnp
+
+    import learn_nerf_tpu.occ_render as occ_render
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyFrameSession, OccupancyRenderer
+
+    model, params = _small_model_and_params()
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    grid_state = grid.init()
+    renderer = OccupancyRenderer(
+        model=model, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=16, samples=16,
+    )
+    origins = _random_rays(48, seed=3)[:, 0]
+    dirs = -origins / np.linalg.norm(origins, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.stack([origins, dirs], axis=1))
+
+    # Force a pathological first estimate (1 slot/ray on a ~16/ray scene).
+    monkeypatch.setattr(
+        occ_render, "resolve_auto_budget", lambda *a, **k: 1
+    )
+    session = OccupancyFrameSession(
+        renderer, params, jnp.zeros(3), grid_state,
+        budget_cfg="auto", tile_size=24,
+    )
+    out = session.render(jax.random.PRNGKey(0), rays)
+    assert int(out["dropped"]) == 0
+    printed = capsys.readouterr().out
+    assert "escalating budget" in printed
