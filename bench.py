@@ -157,15 +157,15 @@ def bench_parity():
     )
 
 
-def bench_vanilla():
+def bench_vanilla(compute_dtype="float32"):
     import jax
 
     from learn_nerf_tpu.models import NeRFModel
     from learn_nerf_tpu.train import TrainLoop
 
     loop = TrainLoop(
-        NeRFModel(),
-        NeRFModel(),
+        NeRFModel(compute_dtype=compute_dtype),
+        NeRFModel(compute_dtype=compute_dtype),
         init_rng=jax.random.PRNGKey(0),
         lr=1e-4,
         coarse_ts=64,
@@ -191,6 +191,10 @@ def main():
         sub["instant_ngp_parity"] = bench_parity()
     if mode in ("all", "vanilla"):
         sub["vanilla_parity"] = bench_vanilla()
+        # The bf16-activation variant answers the roofline question for
+        # the one memory-bound workload (see DESIGN.md section 3 "bf16
+        # neutral" — re-measured here with the roofline attached).
+        sub["vanilla_parity_bf16"] = bench_vanilla("bfloat16")
 
     if "instant_ngp_occupancy" in sub:
         headline = sub["instant_ngp_occupancy"]
