@@ -164,6 +164,21 @@ class OccupancyGrid:
         return OccupancyGridState(densities=densities, step=state.step + 1)
 
 
+def superpool_densities(densities: Array, resolution: int, factor: int) -> Array:
+    """Max-pool the flat ``[resolution^3]`` cell densities by ``factor``.
+
+    A supercell's value is the max over its ``factor^3`` children, so a
+    threshold test on the pooled grid is CONSERVATIVE: occupied children
+    can never hide.  Flat index convention matches
+    :meth:`OccupancyGrid.cell_indices` (``x + r*(y + r*z)``) at the
+    pooled resolution.
+    """
+    r, f = resolution, factor
+    rs = r // f
+    cube = densities.reshape(rs, f, rs, f, rs, f)  # [z, y, x] blocks
+    return cube.max(axis=(1, 3, 5)).reshape(-1)
+
+
 #: Quantized per-ray pool budgets for "auto" modes: resolved budgets snap
 #: up to one of these, so distinct compiled programs are bounded by the
 #: few buckets a run crosses.

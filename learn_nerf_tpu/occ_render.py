@@ -48,6 +48,17 @@ class OccupancyRenderer:
     candidates: int = 192
     samples: int = 32
     min_t_range: float = 1e-3
+    # Two-phase hierarchical selection (inference lever; 0 = off): first
+    # test `span_candidates` cheap midpoints against a CONSERVATIVE
+    # max-pooled supergrid (factor `span_pool_factor`) to bound the
+    # occupied span, then place all `candidates` inside that span — fewer
+    # grid gathers per ray at FINER effective resolution along the
+    # occupied region.  The span pads by one supercell diagonal so
+    # corner-grazing supercells cannot clip it.  Needs
+    # span_candidates >= 2 * (grid.resolution/span_pool_factor) * sqrt(3)
+    # so coarse sampling cannot step over a supercell (64 at 128/8).
+    span_candidates: int = 0
+    span_pool_factor: int = 8
 
     def render_rays(
         self,
@@ -133,6 +144,11 @@ class OccupancyRenderer:
         t_min, t_max, mask = ray_bbox_range(
             origins, dirs, bbox_min, bbox_max, self.min_t_range
         )
+        if self.span_candidates > 0:
+            t_min, t_max, span_hit = self._occupied_span(
+                origins, dirs, t_min, t_max, grid_state
+            )
+            mask = mask & span_hit
         cand_ts = stratified_ts(key, t_min, t_max, self.candidates)
         cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
         cell_idx = self.grid.cell_indices(cand_pts)
@@ -148,6 +164,61 @@ class OccupancyRenderer:
             occ = occ & (jnp.exp(-acc_prev) > transmittance_eps)
         occ = occ & mask[:, None]
         return cand_ts, occ, dt, mask
+
+    def _occupied_span(
+        self,
+        origins: Array,
+        dirs: Array,
+        t_min: Array,
+        t_max: Array,
+        grid_state: OccupancyGridState,
+    ) -> Tuple[Array, Array, Array]:
+        """Phase-1 of two-phase selection: tighten ``[t_min, t_max]`` to
+        the occupied span per the max-pooled supergrid.
+
+        Conservative by construction (supercell = max over children, span
+        padded by one supercell diagonal); interior holes are harmless —
+        phase-2 candidates inside the span are occupancy-tested against
+        the FULL-resolution grid as usual.  During grid warmup every test
+        passes, so the span degenerates to the full range (single-phase
+        behavior).
+
+        :return: ``(t_lo [N], t_hi [N], hit [N] bool)`` — rays with no
+            occupied supercell return their original range and hit=False.
+        """
+        from .acceleration import superpool_densities
+
+        factor = self.span_pool_factor
+        rs = self.grid.resolution // factor
+        n_coarse = self.span_candidates
+        densities = jax.lax.stop_gradient(grid_state.densities)
+        sup = superpool_densities(densities, self.grid.resolution, factor)
+
+        # Midpoint samples of n_coarse equal bins (deterministic; the
+        # conservative pad below covers corner-grazed supercells).
+        i = (jnp.arange(n_coarse, dtype=jnp.float32) + 0.5) / n_coarse
+        ts = t_min[:, None] + (t_max - t_min)[:, None] * i[None, :]  # [N, Cc]
+        pts = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
+
+        bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
+        bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
+        frac = jnp.clip((pts - bbox_min) / (bbox_max - bbox_min), 0.0, 1.0 - 1e-7)
+        cell = (frac * rs).astype(jnp.int32)
+        idx = cell[..., 0] + rs * (cell[..., 1] + rs * cell[..., 2])
+        occ = self.grid.occupied_from_densities(grid_state, sup[idx])  # [N, Cc]
+
+        hit = jnp.any(occ, axis=1)
+        first = jnp.argmax(occ, axis=1)  # first occupied bin
+        last = n_coarse - 1 - jnp.argmax(occ[:, ::-1], axis=1)
+        w = (t_max - t_min) / n_coarse
+        pad = (3.0**0.5) * jnp.max(bbox_max - bbox_min) / rs
+        t_lo = t_min + first.astype(jnp.float32) * w - pad
+        t_hi = t_min + (last.astype(jnp.float32) + 1.0) * w + pad
+        t_lo = jnp.maximum(t_lo, t_min)
+        t_hi = jnp.minimum(t_hi, t_max)
+        t_lo = jnp.where(hit, t_lo, t_min)
+        t_hi = jnp.where(hit, t_hi, t_max)
+        return t_lo, t_hi, hit
 
     def mean_sample_demand(
         self,

@@ -116,6 +116,16 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "approximate transmittance falls below this (early ray "
         "termination; requires --occ_budget_per_ray)",
     )
+    parser.add_argument(
+        "--occ_span_candidates",
+        type=int,
+        default=0,
+        help="inference only (pooled path): two-phase selection — test "
+        "this many coarse midpoints against a conservative max-pooled "
+        "supergrid to bound the occupied span, then place all "
+        "--occ_candidates inside it (fewer grid gathers per ray at finer "
+        "effective resolution; 64 is a good value for a 128 grid)",
+    )
 
 
 def create_model(
@@ -290,6 +300,7 @@ def build_occupancy_renderer(args, metadata: ModelMetadata, fine, params):
         grid=grid,
         candidates=args.occ_candidates,
         samples=args.occ_samples,
+        span_candidates=getattr(args, "occ_span_candidates", 0),
         **bbox,
     )
     return renderer, grid_state

@@ -1135,3 +1135,106 @@ def test_frame_session_auto_escalates_on_underestimate(monkeypatch, capsys):
     assert int(out["dropped"]) == 0
     printed = capsys.readouterr().out
     assert "escalating budget" in printed
+
+
+def test_superpool_densities_conservative():
+    from learn_nerf_tpu.acceleration import superpool_densities
+
+    rng = np.random.RandomState(0)
+    r, f = 16, 4
+    d = rng.rand(r**3).astype(np.float32)
+    sup = np.asarray(superpool_densities(d, r, f))
+    rs = r // f
+    cube = d.reshape(r, r, r)  # [z, y, x]
+    for zs in range(rs):
+        for ys in range(rs):
+            for xs in range(rs):
+                block = cube[
+                    zs * f : (zs + 1) * f,
+                    ys * f : (ys + 1) * f,
+                    xs * f : (xs + 1) * f,
+                ]
+                assert sup[xs + rs * (ys + rs * zs)] == block.max()
+
+
+def test_two_phase_span_selection_matches_single_phase():
+    """Two-phase selection on a slab scene: the span tightens to the slab
+    (plus the conservative pad), no occupied candidate cells are lost,
+    and the pooled render matches single-phase closely."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    model, params = _small_model_and_params()
+    r = 32
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=r)
+    # Occupied only in a z-slab around z in [-0.25, 0].
+    cube = np.zeros((r, r, r), np.float32)  # [z, y, x]
+    z0, z1 = int(r * 0.375), int(r * 0.5)
+    cube[z0:z1] = 1.0
+    grid_state = grid.init().replace(
+        densities=jnp.asarray(cube.reshape(-1)),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+
+    def renderer(span):
+        return OccupancyRenderer(
+            model=model, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+            candidates=64, samples=24,
+            span_candidates=span, span_pool_factor=8,
+        )
+
+    # Rays along +z from below: occupied span is [z0..z1] only.
+    n = 32
+    rng = np.random.RandomState(1)
+    xy = rng.rand(n, 2).astype(np.float32) * 1.6 - 0.8
+    origins = np.concatenate([xy, np.full((n, 1), -3.0, np.float32)], axis=1)
+    dirs = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+    rays = jnp.asarray(np.stack([origins, dirs], axis=1))
+    key = jax.random.PRNGKey(0)
+
+    two = renderer(64)
+    t_lo, t_hi, hit = two._occupied_span(
+        rays[:, 0], rays[:, 1], jnp.full((n,), 2.0), jnp.full((n,), 4.0),
+        grid_state,
+    )
+    assert bool(jnp.all(hit))
+    # Slab z in [-0.25, 0] -> t in [2.75, 3.0]; pad = sqrt(3)*2/4 ~ 0.87.
+    np.testing.assert_array_less(np.asarray(t_lo), 2.76)
+    np.testing.assert_array_less(2.75 - 0.9, np.asarray(t_lo))
+    np.testing.assert_array_less(np.asarray(t_hi), 3.0 + 0.9)
+    np.testing.assert_array_less(2.99, np.asarray(t_hi))
+
+    # Demand parity: the two-phase path must see at least the single-phase
+    # survivor count (finer resolution inside the span finds >= cells).
+    single = renderer(0)
+    d1 = float(single.mean_sample_demand(key, rays, grid_state))
+    d2 = float(two.mean_sample_demand(key, rays, grid_state))
+    assert d2 >= d1 - 0.5
+
+    background = jnp.asarray([0.2, 0.2, 0.2])
+    out1 = single.render_rays_pooled(
+        key, rays, params, background, grid_state, budget=n * 24
+    )
+    out2 = two.render_rays_pooled(
+        key, rays, params, background, grid_state, budget=n * 24
+    )
+    # Different candidate placement -> not bit-equal; the composited
+    # slab color must agree closely on this smooth model.
+    np.testing.assert_allclose(
+        np.asarray(out2["outputs"]), np.asarray(out1["outputs"]), atol=0.03
+    )
+
+    # A ray that misses the slab entirely (enters above it) composites to
+    # background with hit=False.
+    miss_origin = np.asarray([[0.0, 3.0, 0.5]], np.float32)
+    miss_dir = np.asarray([[0.0, -1.0, 0.0]], np.float32)
+    miss_rays = jnp.asarray(np.stack([miss_origin, miss_dir], axis=1))
+    out_miss = two.render_rays_pooled(
+        key, miss_rays, params, background, grid_state, budget=24
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_miss["outputs"])[0], 0.2, atol=1e-5
+    )

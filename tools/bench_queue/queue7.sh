@@ -63,6 +63,13 @@ timeout 3600 python tools/measure_baked.py runs/ours_ngp_long.pkl \
   > runs/measure_baked.log 2>&1
 sleep 60
 
+# ---- 0.55 two-phase span selection on the same frame -----------------------
+timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
+  runs/scene_train/metadata.json runs/scene_test/0000.json \
+  --size 800 --resolutions 512 --budget 10 --eps 1e-2 --span_candidates 64 \
+  > runs/measure_baked_span.log 2>&1
+sleep 60
+
 # ---- 0.6 multi-step dispatch training throughput ---------------------------
 timeout 1800 python -m learn_nerf_tpu.scripts.train_nerf --instant_ngp --batch_size 4096 \
   --lr 1e-2 --seed 0 --occupancy --occ_train_budget 12 --occ_train_budget_start 400 \

@@ -43,6 +43,10 @@ def main():
     p.add_argument("--tile", type=int, default=8192)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument(
+        "--span_candidates", type=int, default=0,
+        help="two-phase selection coarse tests per ray (0 = single-phase)",
+    )
     args = p.parse_args()
 
     import jax
@@ -79,7 +83,8 @@ def main():
     def renderer_for(field_model):
         return OccupancyRenderer(
             model=field_model, grid=grid,
-            candidates=args.candidates, samples=args.samples, **bbox,
+            candidates=args.candidates, samples=args.samples,
+            span_candidates=args.span_candidates, **bbox,
         )
 
     def timed_frames(tag, field_model, field_params):
