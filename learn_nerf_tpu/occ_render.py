@@ -67,25 +67,23 @@ class OccupancyRenderer:
         params: Any,
         background: Array,
         grid_state: OccupancyGridState,
+        transmittance_eps: float = 0.0,
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
-        """Render rays with occupancy-culled sampling.
+        """Render rays with occupancy-culled sampling (fixed ``[N, K]``).
+
+        Candidate selection is shared with the pooled path
+        (:meth:`_select_candidates`), so the two-phase span lever and the
+        grid-transmittance prune apply here too; both default off.
 
         :param rays: ``[N, 2, 3]`` (origin, direction).
         :return: ``(out, aux_means)`` — out keys: ``outputs [N,3]``,
                  ``densities [N,K]``, ``alphas [N,1]``, ``coords [N,3]``,
                  ``weights [N,K+1]``, ``ts [N,K]``, ``sample_mask [N,K]``.
         """
-        bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
-        bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
         origins, dirs = rays[:, 0], rays[:, 1]
-        t_min, t_max, mask = ray_bbox_range(
-            origins, dirs, bbox_min, bbox_max, self.min_t_range
+        cand_ts, occ, dt0, mask = self._select_candidates(
+            key, rays, grid_state, transmittance_eps
         )
-
-        # Cheap candidates + occupancy test (no model, no gradients).
-        cand_ts = stratified_ts(key, t_min, t_max, self.candidates)
-        cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
-        occ = self.grid.occupied(grid_state, cand_pts)
 
         sel_ts, sel_mask, delta_scale = compact_occupied_strided(
             cand_ts, occ, self.samples
@@ -98,7 +96,7 @@ class OccupancyRenderer:
 
         # Every survivor represents delta_scale candidate bins (1 when the
         # ray has <= K occupied candidates, c/K on strided rays).
-        dt = ((t_max - t_min) / self.candidates)[:, None] * delta_scale
+        dt = dt0 * delta_scale
         deltas = jnp.broadcast_to(dt, densities.shape)
         weights = termination_weights(densities, deltas)
 
