@@ -15,6 +15,7 @@ sys.path.insert(0, "/root/reference")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--instant_ngp", action="store_true")
+    ap.add_argument("--ref_nerf", action="store_true")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--coarse", type=int, default=64)
     ap.add_argument("--fine", type=int, default=128)
@@ -35,20 +36,35 @@ def main():
     bbox_max = jnp.array([1.0, 1.0, 1.0])
 
     if args.instant_ngp:
-        coarse = InstantNGPModel(
+        from functools import partial
+
+        if args.ref_nerf:
+            from learn_nerf.instant_ngp import InstantNGPRefNERFModel
+
+            model_cls = partial(InstantNGPRefNERFModel, sh_degree=4)
+            tag = "instant_ngp_ref_nerf"
+        else:
+            model_cls = InstantNGPModel
+            tag = "instant_ngp"
+        coarse = model_cls(
             table_sizes=[2**18] * 6,
             grid_sizes=[2 ** (4 + i // 2) for i in range(6)],
             bbox_min=bbox_min,
             bbox_max=bbox_max,
         )
-        fine = InstantNGPModel(
+        fine = model_cls(
             table_sizes=[2**18] * 16,
             grid_sizes=[2 ** (4 + i // 2) for i in range(16)],
             bbox_min=bbox_min,
             bbox_max=bbox_max,
         )
         kwargs = dict(adam_eps=1e-15, adam_b1=0.9, adam_b2=0.99)
-        tag = "instant_ngp"
+    elif args.ref_nerf:
+        from learn_nerf.ref_nerf import RefNERFModel
+
+        coarse = RefNERFModel(sh_degree=4)
+        fine = RefNERFModel(sh_degree=4)
+        kwargs, tag = dict(), "ref_nerf"
     else:
         coarse, fine, kwargs, tag = NeRFModel(), NeRFModel(), dict(), "vanilla"
 
