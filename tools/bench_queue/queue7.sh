@@ -89,6 +89,12 @@ sleep 60
 timeout 10800 python tools/train_reference.py --ref_nerf --batch_size 4096 --steps 1500 --lr 1e-4 \
   --save_path runs/ref_refnerf.pkl runs/scene_shiny_train > runs/ref_refnerf.log 2>&1
 sleep 60
+timeout 2400 python tools/measure_reference.py --ref_nerf --steps 20 \
+  > runs/measure_ref_refnerf.log 2>&1
+sleep 60
+timeout 3600 python tools/measure_reference.py --instant_ngp --ref_nerf --steps 10 \
+  > runs/measure_ref_ngpref.log 2>&1
+sleep 60
 timeout 2400 python -m learn_nerf_tpu.scripts.eval_psnr --batch_size 4096 --ref_nerf --occupancy \
   --model_path runs/ours_refnerf_1500.pkl runs/scene_shiny_test > runs/eval_ours_refnerf_1500.log 2>&1
 sleep 60
