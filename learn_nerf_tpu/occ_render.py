@@ -187,6 +187,11 @@ class OccupancyRenderer:
         from .acceleration import superpool_densities
 
         factor = self.span_pool_factor
+        if self.grid.resolution % factor:
+            raise ValueError(
+                f"span_pool_factor {factor} must divide the occupancy grid "
+                f"resolution {self.grid.resolution}"
+            )
         rs = self.grid.resolution // factor
         n_coarse = self.span_candidates
         densities = jax.lax.stop_gradient(grid_state.densities)

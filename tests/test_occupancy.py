@@ -1238,3 +1238,44 @@ def test_two_phase_span_selection_matches_single_phase():
     np.testing.assert_allclose(
         np.asarray(out_miss["outputs"])[0], 0.2, atol=1e-5
     )
+
+
+def test_two_phase_span_finds_single_cell():
+    """Conservation stress: a SINGLE occupied cell anywhere in the grid
+    must survive two-phase selection (the supergrid max-pool cannot hide
+    it and the padded span cannot clip it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    r = 32
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=r)
+    renderer = OccupancyRenderer(
+        model=None, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=96, samples=16, span_candidates=64, span_pool_factor=8,
+    )
+    rng = np.random.RandomState(4)
+    key = jax.random.PRNGKey(0)
+    for trial in range(6):
+        cell = rng.randint(0, r, size=3)  # (x, y, z)
+        densities = np.zeros(r**3, np.float32)
+        densities[cell[0] + r * (cell[1] + r * cell[2])] = 1.0
+        gs = grid.init().replace(
+            densities=jnp.asarray(densities),
+            step=jnp.asarray(grid.warmup_updates, jnp.int32),
+        )
+        center = (cell + 0.5) / r * 2.0 - 1.0  # world-space cell center
+        # A ray aimed straight at the cell center from a random direction.
+        d = rng.randn(3).astype(np.float32)
+        d /= np.linalg.norm(d)
+        origin = center - d * 3.0
+        rays = jnp.asarray(
+            np.stack([origin, d], axis=0)[None].astype(np.float32)
+        )
+        _, occ, _, mask = renderer._select_candidates(key, rays, gs)
+        assert bool(mask[0]), f"trial {trial}: ray missed bbox"
+        assert int(occ.sum()) >= 1, (
+            f"trial {trial}: occupied cell {cell} lost by two-phase selection"
+        )
