@@ -592,7 +592,12 @@ class OccupancyTrainLoop:
             (state, grid_state), values = jax.lax.scan(
                 body, (state, grid_state), batches
             )
-            return state, grid_state, values
+            # Last step's metrics only, sliced IN-JIT: returning stacked
+            # [k] metrics would cost one tiny slice dispatch per metric on
+            # the host side — per-dispatch cost is the whole point here.
+            return state, grid_state, jax.tree_util.tree_map(
+                lambda v: v[-1], values
+            )
 
         self._scan_step_fn = step_auto_scan
 
@@ -763,7 +768,7 @@ class OccupancyTrainLoop:
             self.state, self.grid_state, budget, base_key, batches
         )
         self._host_step += k
-        return {name: vals[-1] for name, vals in values.items()}
+        return values
 
     def eval_losses(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
         if not hasattr(self, "_eval_fn"):
