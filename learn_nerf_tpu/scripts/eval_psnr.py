@@ -6,7 +6,6 @@ per-view and mean PSNR in dB over u8 pixels, plus a final summary line
 ``mean_psnr=<dB>`` for scripting.
 """
 
-import argparse
 import os
 
 import numpy as np
