@@ -106,6 +106,7 @@ timeout 3600 python -m learn_nerf_tpu.scripts.eval_psnr --batch_size 4096 --ref_
 sleep 60
 
 # ---- 7. Blender-protocol converted-scene train+eval (VERDICT #4) -----------
+rm -rf runs/blender_capture runs/scene_blender_train runs/scene_blender_test
 env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/make_blender_standin.py \
   runs/blender_capture 64 40 > runs/blender_e2e.log 2>&1
 env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m learn_nerf_tpu.convert.blender \
