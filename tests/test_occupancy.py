@@ -1279,3 +1279,60 @@ def test_two_phase_span_finds_single_cell():
         assert int(occ.sum()) >= 1, (
             f"trial {trial}: occupied cell {cell} lost by two-phase selection"
         )
+
+
+def test_cli_steps_per_dispatch(tmp_path):
+    """train_nerf --steps_per_dispatch drives the scanned macro-step path
+    end to end: trains, logs strided steps, writes a working checkpoint,
+    and a --baked render of it produces a frame."""
+    from learn_nerf_tpu.scripts import render_nerf, train_nerf
+
+    from .synthetic_scene import write_dataset
+
+    scene = write_dataset(str(tmp_path / "scene"), num_views=6, resolution=16)
+    save_path = str(tmp_path / "occ_scan.pkl")
+    train_nerf.main(
+        [
+            "--seed", "0",
+            "--lr", "1e-3",
+            "--batch_size", "256",
+            "--steps", "8",
+            "--steps_per_dispatch", "4",
+            "--instant_ngp",
+            "--occupancy",
+            "--occ_candidates", "32",
+            "--occ_samples", "8",
+            "--occ_grid", "16",
+            "--save_path", save_path,
+            scene,
+        ]
+    )
+    import pickle
+
+    with open(save_path, "rb") as f:
+        ckpt = pickle.load(f)
+    assert int(ckpt["occupancy_host_step"]) == 8
+
+    out_png = str(tmp_path / "out.png")
+    render_nerf.main(
+        [
+            "--seed", "0",
+            "--batch_size", "128",
+            "--instant_ngp",
+            "--occupancy",
+            "--occ_candidates", "32",
+            "--occ_samples", "8",
+            "--occ_grid", "16",
+            "--occ_budget_per_ray", "auto",
+            "--baked", "33",
+            "--width", "16",
+            "--height", "16",
+            "--model_path", save_path,
+            scene + "/metadata.json",
+            scene + "/0000.json",
+            out_png,
+        ]
+    )
+    from PIL import Image
+
+    assert np.asarray(Image.open(out_png)).shape == (16, 16, 3)
