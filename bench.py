@@ -83,22 +83,16 @@ def step_roofline(loop, batch, step_seconds, extra_args=()):
     exposes XLA cost analysis (omitted otherwise)."""
     import jax
 
-    from learn_nerf_tpu.utils.flops import compiled_cost, roofline
+    from learn_nerf_tpu.utils.flops import lowered_cost, roofline
 
     batch = loop.shard_batch(batch)
     key = jax.random.PRNGKey(1)
     try:
         lowered = loop._auto_step_fn.lower(loop.state, key, batch, *extra_args)
-        analysis = lowered.compile().cost_analysis()
-        if isinstance(analysis, (list, tuple)):
-            analysis = analysis[0]
-        if not analysis or float(analysis.get("flops", 0.0)) <= 0.0:
-            return {}
-        cost = dict(
-            flops=float(analysis["flops"]),
-            bytes=float(analysis.get("bytes accessed", 0.0)),
-        )
     except Exception:
+        return {}
+    cost = lowered_cost(lowered)
+    if cost is None:
         return {}
     return roofline(cost, step_seconds)
 

@@ -190,26 +190,31 @@ def quantize_budget(per_ray: float, cap: int) -> int:
     at ``cap`` (the per-ray sample limit K).
 
     The cap is the FINAL bucket: demand above the largest tabulated bucket
-    snaps up to ``ceil(per_ray)`` (still capped) instead of silently
-    returning a bucket below demand — sizing stays lossless whenever
-    ``cap`` itself is enough (K per-ray samples can never demand more
-    than K slots each).
+    keeps snapping up through geometrically extended buckets (96, 128,
+    192, ... — same 1.5x/1.33x ladder, so distinct compiled programs stay
+    bounded even with ``cap`` > 64) instead of silently returning a
+    bucket below demand — sizing stays lossless whenever ``cap`` itself
+    is enough (K per-ray samples can never demand more than K slots each).
     """
-    import math
-
-    bucket = next(
-        (b for b in AUTO_BUDGET_BUCKETS if b >= per_ray),
-        max(AUTO_BUDGET_BUCKETS[-1], math.ceil(per_ray)),
-    )
-    return min(bucket, cap)
+    for b in AUTO_BUDGET_BUCKETS:
+        if b >= per_ray:
+            return min(b, cap)
+    # Extend the ladder geometrically above the table: alternate x1.5 /
+    # x1.33 like the tabulated tail (48, 64, 96, 128, 192, 256, ...).
+    b = AUTO_BUDGET_BUCKETS[-1]
+    while b < per_ray and b < cap:
+        b = b * 3 // 2 if (b & (b - 1)) == 0 else b * 4 // 3
+    return min(b, cap)
 
 
 def next_budget_bucket(budget: int, cap: int) -> int:
     """The next bucket above ``budget`` (for overflow escalation), capped."""
-    bucket = next(
-        (b for b in AUTO_BUDGET_BUCKETS if b > budget), max(budget + 1, cap)
-    )
-    return min(bucket, cap)
+    for b in AUTO_BUDGET_BUCKETS:
+        if b > budget:
+            return min(b, cap)
+    b = max(budget, AUTO_BUDGET_BUCKETS[-1])
+    b = b * 3 // 2 if (b & (b - 1)) == 0 else b * 4 // 3
+    return min(b, cap)
 
 
 def compact_occupied_strided(

@@ -146,7 +146,10 @@ def bake_instant_ngp(
 
     t0 = time.time()
     grid = sweep(params).reshape(r**3, -1)
-    grid.block_until_ready()
+    # block_until_ready can return early on the remote-TPU backend
+    # (CLAUDE.md); a host fetch of an element of the LAST chunk is the
+    # reliable fence for the reported bake time.
+    float(grid[-1, -1])
 
     # Copy the color-head Dense layers: the source names them
     # Dense_{density_layers+1} .. Dense_{density_layers+color_layers+1}

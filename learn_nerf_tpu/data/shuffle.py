@@ -36,11 +36,25 @@ ROW_FLOATS = 9
 def _cache_signature(
     views: Sequence, num_shards: int, process_count: int
 ) -> str:
-    """Signature of everything that determines shard-file contents."""
+    """Signature of everything that determines shard-file contents.
+
+    Besides the layout (shard/process counts, view list), each image
+    file's size and mtime enter the hash: a dataset regenerated *in
+    place* under the same filenames (``make_blender_standin``-style
+    ``exist_ok`` writers) must invalidate the cache — matching paths
+    alone would silently serve rays of the old images.
+    """
     h = hashlib.md5()
-    h.update(f"v2:{num_shards}:{process_count}:{len(views)}".encode())
+    h.update(f"v3:{num_shards}:{process_count}:{len(views)}".encode())
     for view in views:
-        h.update(str(getattr(view, "image_path", "")).encode())
+        path = str(getattr(view, "image_path", ""))
+        h.update(path.encode())
+        if path:
+            try:
+                st = os.stat(path)
+                h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                pass
         h.update(b"\x00")
     return h.hexdigest()
 
@@ -77,7 +91,7 @@ class ShuffledDataset:
         done_path = os.path.join(host_dir, "done")
         paths = [os.path.join(host_dir, str(i)) for i in range(num_shards)]
         signature = _cache_signature(dataset.views, num_shards, process_count)
-        if self._cache_valid(done_path, signature):
+        if self._cache_valid(done_path, signature, paths):
             self.fds = [open(p, "rb") for p in paths]
         else:
             self.fds = [open(p, "wb+") for p in paths]
@@ -94,8 +108,15 @@ class ShuffledDataset:
                 f.write(signature + "\n")
 
     @staticmethod
-    def _cache_valid(done_path: str, signature: str) -> bool:
+    def _cache_valid(
+        done_path: str, signature: str, paths: Sequence[str]
+    ) -> bool:
         if not os.path.exists(done_path):
+            return False
+        if not all(os.path.exists(p) for p in paths):
+            # A marker whose shard files are missing (e.g. a cache built
+            # with a smaller num_shards) must rebuild, not crash later
+            # with FileNotFoundError on shard open.
             return False
         with open(done_path) as f:
             content = f.read().strip()

@@ -24,6 +24,7 @@ once the grid converges because skipped cells genuinely have ~zero density
 (Instant NGP section 3; NerfAcc arXiv:2305.04966).
 """
 
+import math
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -193,6 +194,22 @@ class OccupancyRenderer:
                 f"resolution {self.grid.resolution}"
             )
         rs = self.grid.resolution // factor
+        needed = math.ceil(2.0 * (3.0**0.5) * rs)
+        if self.span_candidates < needed:
+            # Enforce the conservativeness precondition (midpoint spacing
+            # <= half a supercell over the worst-case bbox-diagonal ray);
+            # an undersized probe count would silently skip thin occupied
+            # supercells and render those rays as background — a silent
+            # cap, which this renderer forbids.  The grid resolution comes
+            # from the checkpoint, so tell the user both levers.
+            raise ValueError(
+                f"occ_span_candidates={self.span_candidates} is too few "
+                f"probes for a {rs}^3 supergrid (occupancy grid "
+                f"{self.grid.resolution}, span_pool_factor {factor}): "
+                f"need >= {needed} to guarantee no occupied supercell is "
+                f"skipped. Raise --occ_span_candidates or raise the pool "
+                f"factor."
+            )
         n_coarse = self.span_candidates
         densities = jax.lax.stop_gradient(grid_state.densities)
         sup = superpool_densities(densities, self.grid.resolution, factor)
@@ -466,6 +483,11 @@ class OccupancyFrameSession:
         self._depth = include_depth_outputs
         self._mesh = mesh
         self._frame_cache: Dict[Any, Any] = {}
+        # Highest budget an overflow escalation ever reached: a floor for
+        # later frames' auto resolution, so one underestimate does not
+        # re-pay the drop -> escalate -> re-render cycle on every frame
+        # of a multi-view run (eval_psnr, orbits).
+        self._escalated_floor = 0
         self._demand_fn = (
             make_demand_fn(renderer, transmittance_eps)
             if budget_cfg == "auto"
@@ -501,6 +523,7 @@ class OccupancyFrameSession:
                 transmittance_eps=self._eps,
                 demand_fn=self._demand_fn,
             )
+            budget = max(budget, self._escalated_floor)
         while True:
             if budget not in self._frame_cache:
                 self._frame_cache[budget] = self._make_frame(budget)
@@ -521,6 +544,7 @@ class OccupancyFrameSession:
                     f"({rate:.2%}); escalating budget {budget} -> {new}"
                 )
                 budget = new
+                self._escalated_floor = max(self._escalated_floor, new)
                 continue
             print(
                 f"WARNING: pool budget {budget} dropped {dropped}/{selected} "

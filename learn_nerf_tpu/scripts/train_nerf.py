@@ -211,8 +211,17 @@ def main(argv=None):
         )
         try:
             for i, macro in enumerate(macro_batches):
+                if args.steps is not None:
+                    remaining = args.steps - i * k
+                    if remaining <= 0:
+                        break
+                    if remaining < k:
+                        # Final partial dispatch: scan exactly the steps
+                        # asked for (equal-step comparisons depend on it).
+                        # Costs one extra compile for the remainder shape.
+                        macro = macro[:remaining]
                 losses = loop.step_auto_many(base_key, macro)
-                step = (i + 1) * k - 1
+                step = i * k + int(macro.shape[0]) - 1
                 logger.log_step(step, losses)
                 if step and (step + 1) % args.save_interval < k:
                     loop.save(args.save_path)

@@ -803,6 +803,16 @@ class OccupancyTrainLoop:
         payload = load_params_pickle(path)
         params = dict(fine=payload["fine"], background=payload["background"])
         state = self.state.replace(params=params)
+        if "occupancy_host_step" in payload:
+            # Sync the optimizer step counter too: step_auto keys and the
+            # scanned path's in-jit refresh cadence both fold state.step,
+            # so a params-pickle resume must not restart that stream at 0
+            # (it would replay early PRNG keys and desync the scan path's
+            # cadence from the host counter's).  Adam moments are fresh
+            # here regardless — only the full-state checkpoint keeps them.
+            state = state.replace(
+                step=jnp.asarray(int(payload["occupancy_host_step"]))
+            )
         self.state = jax.device_put(state, replicated_sharding(self.mesh))
         if "occupancy_densities" in payload:
             # state_from_checkpoint marks the trained grid past warmup —

@@ -23,16 +23,11 @@ V5E_PEAK_FLOPS = 1.97e14
 V5E_PEAK_BYTES_PER_SEC = 8.19e11
 
 
-def compiled_cost(fn, *args) -> Optional[Dict[str, float]]:
-    """FLOPs / bytes-accessed of ``jit(fn)(*args)`` per XLA cost analysis.
-
-    Returns ``None`` when the backend exposes no cost model (some PJRT
-    plugins); callers should then omit MFU rather than guess.
-    """
+def lowered_cost(lowered) -> Optional[Dict[str, float]]:
+    """FLOPs / bytes-accessed of an already-``lower()``-ed jit program per
+    XLA cost analysis (``None`` when the backend exposes no cost model —
+    some PJRT plugins; callers should then omit MFU rather than guess)."""
     try:
-        import jax
-
-        lowered = jax.jit(fn).lower(*args)
         analysis = lowered.compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):  # some backends wrap per-device
             analysis = analysis[0]

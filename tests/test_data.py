@@ -243,3 +243,39 @@ def test_shuffle_cache_invalidates_on_change():
             # Served from the (legacy-marked) existing shards: data3 rows.
             n_legacy = np.concatenate(list(sd.iterate_batches(16))).shape[0]
         assert n_legacy == n3
+
+        # ... but a legacy marker whose shard files are missing (cache
+        # built with fewer shards: only 0..7 exist here) rebuilds instead
+        # of crashing on open.
+        with ShuffledDataset(tmp, data2, seed=0, num_shards=16) as sd:
+            n_rebuilt = np.concatenate(list(sd.iterate_batches(16))).shape[0]
+        assert n_rebuilt == n2
+
+
+def test_shuffle_cache_invalidates_on_file_content_change():
+    """The signature covers image size+mtime: a dataset regenerated IN
+    PLACE under the same filenames rebuilds the cache instead of silently
+    serving rays of the old images."""
+    from learn_nerf_tpu.data.shuffle import _cache_signature
+
+    class _View:
+        def __init__(self, path):
+            self.image_path = path
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "0000.png")
+        with open(path, "wb") as f:
+            f.write(b"old-bytes")
+        views = [_View(path)]
+        sig_old = _cache_signature(views, 4, 1)
+        assert sig_old == _cache_signature(views, 4, 1)  # stable
+
+        # Overwrite in place (different content AND size).
+        with open(path, "wb") as f:
+            f.write(b"regenerated-longer-bytes")
+        assert _cache_signature(views, 4, 1) != sig_old
+
+        # Same size, later mtime still invalidates.
+        sig_mid = _cache_signature(views, 4, 1)
+        os.utime(path, ns=(1, 10**15))
+        assert _cache_signature(views, 4, 1) != sig_mid

@@ -892,13 +892,20 @@ def test_budget_buckets_cap_and_escalation():
 
     assert quantize_budget(5.2, 32) == 6
     assert quantize_budget(64.0, 64) == 64
-    # Demand above the largest bucket: snap to ceil(demand) capped, never
-    # below demand while the cap allows it (ADVICE round 2).
-    assert quantize_budget(70.0, 128) == 70
+    # Demand above the largest tabulated bucket: the ladder extends
+    # geometrically (96, 128, 192, 256, ...) so sizing never drops below
+    # demand while the cap allows it (ADVICE round 2), yet distinct
+    # compiled budgets stay bounded even for large caps.
+    assert quantize_budget(70.0, 128) == 96
+    assert quantize_budget(100.0, 256) == 128
+    assert quantize_budget(130.0, 256) == 192
+    assert quantize_budget(200.0, 256) == 256
     assert quantize_budget(70.0, 64) == 64
     assert next_budget_bucket(8, 32) == 12
     assert next_budget_bucket(32, 32) == 32
-    assert next_budget_bucket(64, 128) == 128
+    assert next_budget_bucket(64, 128) == 96
+    assert next_budget_bucket(96, 256) == 128
+    assert next_budget_bucket(128, 256) == 192
 
 
 def test_pooled_drop_counters():
@@ -1019,6 +1026,10 @@ def test_pickle_resume_keeps_loop_cadence(tmp_path):
     b = make_loop()
     b.load(path)
     assert b._host_step == 5
+    # The optimizer step counter syncs too: step_auto keys and the
+    # scanned path's in-jit cadence fold state.step, so both must resume
+    # from the checkpointed count, not replay the stream from 0.
+    assert int(b.state.step) == 5
     # The very next step must dispatch the POOLED path: stub the dense fn
     # so any fallback to it fails loudly.
     def boom(*args, **kwargs):
@@ -1135,6 +1146,13 @@ def test_frame_session_auto_escalates_on_underestimate(monkeypatch, capsys):
     assert int(out["dropped"]) == 0
     printed = capsys.readouterr().out
     assert "escalating budget" in printed
+
+    # The escalated budget persists as a floor: the next frame starts at
+    # it instead of re-paying the drop -> escalate -> re-render cycle
+    # (the patched estimator still says 1).
+    out2 = session.render(jax.random.PRNGKey(1), rays)
+    assert int(out2["dropped"]) == 0
+    assert "escalating budget" not in capsys.readouterr().out
 
 
 def test_superpool_densities_conservative():
@@ -1281,6 +1299,39 @@ def test_two_phase_span_finds_single_cell():
         )
 
 
+def test_two_phase_span_rejects_undersized_probe_count():
+    """Too few span probes for the supergrid resolution would silently
+    skip thin occupied supercells (rays render as background) — the
+    renderer refuses instead, naming both levers."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    r = 256  # supergrid 32^3 at factor 8 -> needs >= 111 probes
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=r)
+    renderer = OccupancyRenderer(
+        model=None, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=96, samples=16, span_candidates=64, span_pool_factor=8,
+    )
+    gs = grid.init().replace(step=jnp.asarray(grid.warmup_updates, jnp.int32))
+    rays = jnp.asarray(
+        np.stack(
+            [np.asarray([0.0, 0.0, -3.0]), np.asarray([0.0, 0.0, 1.0])], axis=0
+        )[None].astype(np.float32)
+    )
+    with pytest.raises(ValueError, match="occ_span_candidates"):
+        renderer._select_candidates(jax.random.PRNGKey(0), rays, gs)
+    # The same config with a sufficient probe count works.
+    ok = OccupancyRenderer(
+        model=None, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=96, samples=16, span_candidates=112, span_pool_factor=8,
+    )
+    ok._select_candidates(jax.random.PRNGKey(0), rays, gs)
+
+
 def test_cli_steps_per_dispatch(tmp_path):
     """train_nerf --steps_per_dispatch drives the scanned macro-step path
     end to end: trains, logs strided steps, writes a working checkpoint,
@@ -1296,7 +1347,10 @@ def test_cli_steps_per_dispatch(tmp_path):
             "--seed", "0",
             "--lr", "1e-3",
             "--batch_size", "256",
-            "--steps", "8",
+            # Deliberately NOT a multiple of steps_per_dispatch: the final
+            # partial dispatch must scan exactly the remaining 2 steps
+            # (equal-step baseline comparisons depend on it).
+            "--steps", "10",
             "--steps_per_dispatch", "4",
             "--instant_ngp",
             "--occupancy",
@@ -1311,7 +1365,7 @@ def test_cli_steps_per_dispatch(tmp_path):
 
     with open(save_path, "rb") as f:
         ckpt = pickle.load(f)
-    assert int(ckpt["occupancy_host_step"]) == 8
+    assert int(ckpt["occupancy_host_step"]) == 10
 
     out_png = str(tmp_path / "out.png")
     render_nerf.main(
