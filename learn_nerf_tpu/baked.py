@@ -50,10 +50,21 @@ Array = jnp.ndarray
 class BakedInstantNGP(FieldModel):
     """Dense-grid spatial field + the original NGP color head.
 
-    Params: ``grid`` — ``[resolution^3, density_dim]`` spatial feature
-    table (vertex-sampled, trilinearly interpolated; channel 0 is log
-    density) — plus the color-head Dense layers copied verbatim from the
-    trained model by :func:`bake_instant_ngp`.
+    Params: ``grid`` — ``[resolution^3, pack * density_dim]`` spatial
+    feature table (vertex-sampled, trilinearly interpolated; channel 0 is
+    log density) — plus the color-head Dense layers copied verbatim from
+    the trained model by :func:`bake_instant_ngp`.
+
+    ``pack`` trades HBM for gather count (XLA's gather throughput is
+    COUNT-bound, ~110M rows/s regardless of row width — docs/DESIGN.md
+    section 3): each table row duplicates the features of ``pack`` cell
+    corners (1, 2, 4, or 8), so a trilinear sample costs ``8 / pack``
+    gathers at ``pack``x the memory.  Corner order is the bit order of
+    :data:`~learn_nerf_tpu.ops.hashgrid._CORNERS` (x=bit2, y=bit1,
+    z=bit0); packing consumes the LOW bits (z, then y, then x), so the
+    gathered ``[8/pack, pack, F]`` rows reshape to the standard
+    ``[8, F]`` corner order and the interpolation below is bit-identical
+    to ``pack=1``.
     """
 
     resolution: int
@@ -63,25 +74,35 @@ class BakedInstantNGP(FieldModel):
     hidden_dim: int = 64
     density_dim: int = 16
     color_layers: int = 2
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: Array, d: Array) -> FieldOutput:
         r = self.resolution
+        p = self.pack
+        if p not in (1, 2, 4, 8):
+            raise ValueError(f"pack must be 1, 2, 4, or 8 (got {p})")
         grid = self.param(
             "grid",
-            lambda key: jnp.zeros((r**3, self.density_dim), jnp.bfloat16),
+            lambda key: jnp.zeros((r**3, p * self.density_dim), jnp.bfloat16),
         )
         bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
         bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
         coords, weights = corner_weights_and_coords(
             x, r, bbox_min, bbox_max, smooth=False
         )
-        # Dense vertex index (the lattice is its own table; r^3 rows).
-        cx = coords[..., 0].astype(jnp.int32)
-        cy = coords[..., 1].astype(jnp.int32)
-        cz = coords[..., 2].astype(jnp.int32)
+        # Row corners = corners whose packed (low) offset bits are zero:
+        # stride p over the 8 (p=1 -> all, p=2 -> 0,2,4,6, p=4 -> 0,4,
+        # p=8 -> 0).  Dense vertex index (the lattice is its own table).
+        rows = coords[..., ::p, :]
+        cx = rows[..., 0].astype(jnp.int32)
+        cy = rows[..., 1].astype(jnp.int32)
+        cz = rows[..., 2].astype(jnp.int32)
         idx = cx + r * (cy + r * cz)
-        feats = jnp.take(grid, idx, axis=0).astype(jnp.float32)  # [..., 8, F]
+        feats = jnp.take(grid, idx, axis=0)  # [..., 8/p, p*F]
+        feats = feats.reshape(*feats.shape[:-2], 8, self.density_dim).astype(
+            jnp.float32
+        )
         out = jnp.sum(weights[..., None] * feats, axis=-2)  # [..., F]
 
         density = jnp.exp(out[..., 0:1])
@@ -93,11 +114,51 @@ class BakedInstantNGP(FieldModel):
         return density, color, {}
 
 
+def pack_baked_grid(grid: Array, resolution: int, pack: int) -> Array:
+    """Duplicate-pack corner features for :class:`BakedInstantNGP`.
+
+    Row ``(x, y, z)`` of the result holds the features of the ``pack``
+    corners ``(x + dx, y + dy, z + dz)`` for the low ``log2(pack)``
+    offset bits in corner-bit order (x=bit2, y=bit1, z=bit0), +1 shifts
+    clamped at the boundary (those rows are never gathered as bases:
+    the interpolation floors to ``resolution - 2``).
+
+    :param grid: ``[resolution^3, F]`` unpacked table (x fastest).
+    :return: ``[resolution^3, pack * F]``.
+    """
+    if pack == 1:
+        return grid
+    if pack not in (2, 4, 8):
+        raise ValueError(f"pack must be 1, 2, 4, or 8 (got {pack})")
+    r = resolution
+    g = grid.reshape(r, r, r, -1)  # [z, y, x, F]
+
+    def sh(a, axis):  # clamped +1 shift along a lattice axis
+        return jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(a, 1, r, axis=axis),
+                jax.lax.slice_in_dim(a, r - 1, r, axis=axis),
+            ],
+            axis=axis,
+        )
+
+    parts = [g, sh(g, 0)]  # dz = 0, 1
+    if pack >= 4:
+        gy = sh(g, 1)
+        parts += [gy, sh(gy, 0)]  # (dy=1, dz=0), (1, 1)
+    if pack == 8:
+        gx = sh(g, 2)
+        gxy = sh(gx, 1)
+        parts += [gx, sh(gx, 0), gxy, sh(gxy, 0)]
+    return jnp.concatenate(parts, axis=-1).reshape(r**3, -1)
+
+
 def bake_instant_ngp(
     model: InstantNGPModel,
     params,
     resolution: int,
     dtype=jnp.bfloat16,
+    pack: int = 1,
     verbose: bool = True,
 ) -> Tuple[BakedInstantNGP, dict]:
     """Sweep the trained spatial stack onto a dense grid.
@@ -112,6 +173,9 @@ def bake_instant_ngp(
         features = 4.3 GB) at ~3 significant digits, enough for densities
         through ``exp`` at frame-PSNR fidelity — measure with
         ``eval_psnr --baked`` if in doubt, or pass ``jnp.float32``.
+    :param pack: corners per table row (1, 2, 4, or 8): ``pack``x the
+        grid memory for ``8 / pack`` count-bound gathers per sample,
+        bit-identical outputs (see :class:`BakedInstantNGP`).
     :return: ``(baked_model, baked_params)`` ready for any FieldModel
         consumer; combine as ``dict(fine=baked_params, background=...)``
         for the render CLIs.
@@ -146,6 +210,8 @@ def bake_instant_ngp(
 
     t0 = time.time()
     grid = sweep(params).reshape(r**3, -1)
+    if pack != 1:
+        grid = jax.jit(pack_baked_grid, static_argnums=(1, 2))(grid, r, pack)
     # block_until_ready can return early on the remote-TPU backend
     # (CLAUDE.md); a host fetch of an element of the LAST chunk is the
     # reliable fence for the reported bake time.
@@ -168,12 +234,14 @@ def bake_instant_ngp(
         hidden_dim=model.hidden_dim,
         density_dim=model.density_dim,
         color_layers=model.color_layers,
+        pack=pack,
     )
     if verbose:
         gb = grid.size * grid.dtype.itemsize / 1e9
         print(
             f"baked {r}^3 x {grid.shape[-1]} spatial grid "
-            f"({gb:.2f} GB {grid.dtype}) in {time.time() - t0:.1f} s",
+            f"({gb:.2f} GB {grid.dtype}, pack {pack}) "
+            f"in {time.time() - t0:.1f} s",
             flush=True,
         )
     return baked, baked_params

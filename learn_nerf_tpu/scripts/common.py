@@ -193,6 +193,15 @@ def add_baked_args(parser: argparse.ArgumentParser) -> None:
         "and reuse it while it is newer than the checkpoint (skips the "
         "bake sweep on later sessions)",
     )
+    parser.add_argument(
+        "--baked_pack",
+        type=int,
+        default=1,
+        choices=(1, 2, 4, 8),
+        help="corners stored per baked-grid row: PACKx the grid memory "
+        "for 8/PACK count-bound gathers per sample, identical output "
+        "(gather throughput is count-bound on TPU)",
+    )
 
 
 def apply_baking(args, fine, params):
@@ -208,10 +217,13 @@ def apply_baking(args, fine, params):
 
     from ..baked import bake_instant_ngp
 
+    pack = getattr(args, "baked_pack", 1)
     cache_path = None
     if getattr(args, "baked_cache", False):
+        pack_tag = f".p{pack}" if pack != 1 else ""
         cache_path = (
-            f"{args.model_path}.baked{args.baked}.{args.baked_dtype}.npz"
+            f"{args.model_path}.baked{args.baked}.{args.baked_dtype}"
+            f"{pack_tag}.npz"
         )
         ckpt_mtime = os.path.getmtime(args.model_path)
         if (
@@ -246,6 +258,7 @@ def apply_baking(args, fine, params):
                 hidden_dim=fine.hidden_dim,
                 density_dim=fine.density_dim,
                 color_layers=fine.color_layers,
+                pack=pack,
             )
             print(f"loaded baked grid cache: {cache_path}", flush=True)
             return baked, baked_params
@@ -255,6 +268,7 @@ def apply_baking(args, fine, params):
         params["fine"],
         args.baked,
         dtype=jnp.dtype(args.baked_dtype),
+        pack=pack,
     )
     if cache_path is not None:
         import jax

@@ -69,6 +69,39 @@ def test_bake_exact_at_lattice_vertices():
     )
 
 
+@pytest.mark.parametrize("pack", [2, 4, 8])
+def test_packed_grid_bitwise_identical(pack):
+    """Corner packing trades memory for gather count only: every packed
+    variant must produce BIT-identical outputs to pack=1 (same corner
+    order, same interpolation arithmetic) at pack-x the grid rows' width."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.baked import bake_instant_ngp
+
+    model, params = _tiny_ngp()
+    r = 9
+    base, base_params = bake_instant_ngp(
+        model, params, r, dtype=jnp.float32, verbose=False
+    )
+    packed, packed_params = bake_instant_ngp(
+        model, params, r, dtype=jnp.float32, pack=pack, verbose=False
+    )
+    assert packed_params["grid"].shape == (r**3, pack * 4)
+
+    rng = np.random.RandomState(7)
+    pts = (rng.rand(257, 3).astype(np.float32) * 2.0 - 1.0) * 0.999
+    dirs = _random_dirs(pts.shape[0], seed=11)
+    d0, c0, _ = base.apply(
+        dict(params=base_params), jnp.asarray(pts), jnp.asarray(dirs)
+    )
+    d1, c1, _ = packed.apply(
+        dict(params=packed_params), jnp.asarray(pts), jnp.asarray(dirs)
+    )
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
 def test_bake_close_off_lattice_and_bf16():
     import jax.numpy as jnp
 
@@ -187,7 +220,7 @@ def test_render_cli_baked(tmp_path):
         "--model_path", str(path), "--occupancy",
         "--occ_candidates", "32", "--occ_samples", "16", "--occ_grid", "8",
         "--occ_budget_per_ray", "auto",
-        "--baked", "17", "--baked_dtype", "float32",
+        "--baked", "17", "--baked_dtype", "float32", "--baked_pack", "2",
     ]
 
     # The CLI builds the model from its own factory, so the checkpoint

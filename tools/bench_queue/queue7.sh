@@ -44,7 +44,7 @@ timeout 900 python -m learn_nerf_tpu.scripts.render_nerf --seed 0 --batch_size 1
 sleep 30
 timeout 900 python -m learn_nerf_tpu.scripts.render_nerf --seed 0 --batch_size 1024 \
   --instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 --occ_grid 64 \
-  --occ_budget_per_ray auto --baked 128 --width 32 --height 32 \
+  --occ_budget_per_ray auto --baked 128 --baked_pack 2 --width 32 --height 32 \
   --model_path /tmp/verify_ngp.pkl \
   /tmp/verify_scene/metadata.json /tmp/verify_scene/0000.json /tmp/verify_baked.png >> runs/verify_r3.log 2>&1
 env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "
@@ -68,6 +68,18 @@ timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
   runs/scene_train/metadata.json runs/scene_test/0000.json \
   --size 800 --resolutions 512 --budget 10 --eps 1e-2 --span_candidates 64 \
   > runs/measure_baked_span.log 2>&1
+sleep 60
+
+# ---- 0.57 packed-corner baked grids (8/pack gathers per sample) ------------
+timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
+  runs/scene_train/metadata.json runs/scene_test/0000.json \
+  --size 800 --resolutions 384,512 --budget 10 --eps 1e-2 --pack 2 \
+  > runs/measure_baked_p2.log 2>&1
+sleep 60
+timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
+  runs/scene_train/metadata.json runs/scene_test/0000.json \
+  --size 800 --resolutions 384 --budget 10 --eps 1e-2 --pack 4 \
+  > runs/measure_baked_p4.log 2>&1
 sleep 60
 
 # ---- 0.6 multi-step dispatch training throughput ---------------------------

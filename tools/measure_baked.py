@@ -47,6 +47,10 @@ def main():
         "--span_candidates", type=int, default=0,
         help="two-phase selection coarse tests per ray (0 = single-phase)",
     )
+    p.add_argument(
+        "--pack", type=int, default=1, choices=(1, 2, 4, 8),
+        help="corners per baked row (PACKx memory, 8/PACK gathers/sample)",
+    )
     args = p.parse_args()
 
     import jax
@@ -114,11 +118,13 @@ def main():
 
     for r in [int(x) for x in args.resolutions.split(",") if x]:
         baked, baked_params = bake_instant_ngp(
-            model, params["fine"], r, dtype=jnp.dtype(args.dtype)
+            model, params["fine"], r, dtype=jnp.dtype(args.dtype),
+            pack=args.pack,
         )
-        img, t = timed_frames(f"baked_{r}", baked, baked_params)
+        tag = f"baked_{r}" + (f"_p{args.pack}" if args.pack != 1 else "")
+        img, t = timed_frames(tag, baked, baked_params)
         print(
-            f"baked_{r}: PSNR vs live {psnr(img, live_img):.2f} dB, "
+            f"{tag}: PSNR vs live {psnr(img, live_img):.2f} dB, "
             f"speedup {live_t / t:.2f}x",
             flush=True,
         )
