@@ -82,6 +82,14 @@ timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
   > runs/measure_baked_p4.log 2>&1
 sleep 60
 
+# ---- 0.58 combined: span-tightened selection + fewer candidates + pack -----
+timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
+  runs/scene_train/metadata.json runs/scene_test/0000.json \
+  --size 800 --resolutions 384 --budget 10 --eps 1e-2 \
+  --span_candidates 64 --candidates 96 --pack 4 \
+  > runs/measure_baked_combo.log 2>&1
+sleep 60
+
 # ---- 0.6 multi-step dispatch training throughput ---------------------------
 timeout 1800 python -m learn_nerf_tpu.scripts.train_nerf --instant_ngp --batch_size 4096 \
   --lr 1e-2 --seed 0 --occupancy --occ_train_budget 12 --occ_train_budget_start 400 \
