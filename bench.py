@@ -19,7 +19,11 @@ quality; tests/test_occupancy.py).  Timing includes the amortized
 occupancy-grid updates (every 16 steps) and forces host fetches
 (block_until_ready is unreliable on this backend).
 
-BENCH_MODE: "all" (default) | "occupancy" | "parity" | "vanilla".
+BENCH_MODE: "all" (default) | "occupancy" | "pooled" | "parity" |
+"vanilla".  The ``instant_ngp_pooled`` submetric measures the shipped
+flagship config (``--occ_train_budget auto``) at a synthetic converged
+grid reproducing the compound scene's ~10/ray survivor demand
+(BASELINE.md "Pooled training").
 """
 
 import json
@@ -125,6 +129,53 @@ def bench_occupancy():
     )
 
 
+def bench_pooled():
+    """The shipped flagship config (--occ_train_budget auto): once the
+    grid culls, each step pools the batch's actual survivors so the field
+    model runs on ~demand samples instead of K per-ray padding.
+
+    A real run reaches this state after the grid converges (BASELINE.md:
+    40.5k rays/s on the compound scene, demand ~9/ray -> budget 12); here
+    a synthetic grid with 5% occupied cells reproduces that demand
+    (192 candidates x 5% ~ 9.6 survivors/ray) so the bench measures the
+    same steady-state device program without minutes of scene training.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    loop = OccupancyTrainLoop(
+        ngp_model(16),
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-4,
+        bbox_min=(-1.0, -1.0, -1.0),
+        bbox_max=(1.0, 1.0, 1.0),
+        candidates=192,
+        samples=32,
+        grid_resolution=128,
+        update_interval=16,
+        adam_eps=1e-15,
+        adam_b2=0.99,
+        pool_budget_per_ray="auto",
+        pool_start_step=0,
+    )
+    # Converged-grid stand-in: 5% of cells occupied, warmup complete.
+    rng = np.random.RandomState(3)
+    occupied = (rng.rand(128**3) < 0.05).astype(np.float32)
+    loop.grid_state = loop.grid_state.replace(
+        densities=jnp.asarray(occupied),
+        step=jnp.asarray(loop.grid.warmup_updates, jnp.int32),
+    )
+    batch = make_batch(np.random.RandomState(0))
+    rays, secs = run_steps(loop, batch, steps=32, warmup=4)
+    return dict(
+        rays_per_sec=round(rays, 1),
+        vs_reference_ngp=round(rays / REFERENCE_NGP_RAYS_PER_SEC, 3),
+        pool_budget=loop._auto_per_ray,
+    )
+
+
 def bench_parity():
     import jax
 
@@ -181,6 +232,8 @@ def main():
     sub = {}
     if mode in ("all", "occupancy"):
         sub["instant_ngp_occupancy"] = bench_occupancy()
+    if mode in ("all", "pooled"):
+        sub["instant_ngp_pooled"] = bench_pooled()
     if mode in ("all", "parity"):
         sub["instant_ngp_parity"] = bench_parity()
     if mode in ("all", "vanilla"):
@@ -194,6 +247,11 @@ def main():
         headline = sub["instant_ngp_occupancy"]
         metric = "train_rays_per_sec_instant_ngp"
         unit = "rays/sec/chip (batch 4096, occupancy-culled 192->32 samples)"
+        vs = headline["vs_reference_ngp"]
+    elif "instant_ngp_pooled" in sub:
+        headline = sub["instant_ngp_pooled"]
+        metric = "train_rays_per_sec_instant_ngp_pooled"
+        unit = "rays/sec/chip (batch 4096, pooled survivors, demand ~10/ray)"
         vs = headline["vs_reference_ngp"]
     elif "instant_ngp_parity" in sub:
         headline = sub["instant_ngp_parity"]
