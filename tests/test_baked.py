@@ -186,6 +186,16 @@ def test_baked_field_through_pooled_frame():
         np.asarray(b["outputs"]), np.asarray(live["outputs"]), atol=5e-3
     )
 
+    # Packed variant through the same frame path: bit-identical to the
+    # unpacked baked frame (same interpolation, fewer gathers).
+    packed, pp = bake_instant_ngp(
+        model, params, 65, dtype=jnp.float32, pack=8, verbose=False
+    )
+    p = frame(packed, pp)
+    np.testing.assert_array_equal(
+        np.asarray(p["outputs"]), np.asarray(b["outputs"])
+    )
+
 
 def test_render_cli_baked(tmp_path):
     """render_nerf --baked end to end: bake at startup, render a frame."""
