@@ -89,6 +89,20 @@ timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
   --span_candidates 64 --candidates 96 --pack 4 \
   > runs/measure_baked_combo.log 2>&1
 sleep 60
+# Aggressive frontier points: fewer candidates inside the span, and a
+# 256^3 bake at pack 8 (4.3 GB — full packing fits at this resolution).
+timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
+  runs/scene_train/metadata.json runs/scene_test/0000.json \
+  --size 800 --resolutions 384 --budget 10 --eps 1e-2 \
+  --span_candidates 64 --candidates 64 --pack 4 \
+  > runs/measure_baked_combo64.log 2>&1
+sleep 60
+timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
+  runs/scene_train/metadata.json runs/scene_test/0000.json \
+  --size 800 --resolutions 256 --budget 10 --eps 1e-2 \
+  --span_candidates 64 --candidates 96 --pack 8 \
+  > runs/measure_baked_256p8.log 2>&1
+sleep 60
 
 # ---- 0.6 multi-step dispatch training throughput ---------------------------
 timeout 1800 python -m learn_nerf_tpu.scripts.train_nerf --instant_ngp --batch_size 4096 \
