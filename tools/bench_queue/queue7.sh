@@ -8,54 +8,6 @@ set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-# ---- 0. verify drive -------------------------------------------------------
-env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "
-import sys; sys.path.insert(0, '/root/repo')
-from tests.synthetic_scene import write_dataset
-write_dataset('/tmp/verify_scene', num_views=8, resolution=32)" \
-  > runs/verify_r3.log 2>&1
-
-timeout 1200 python -m learn_nerf_tpu.scripts.train_nerf --seed 0 --lr 2e-3 --batch_size 1024 \
-  --coarse_samples 16 --fine_samples 16 --steps 600 \
-  --save_path /tmp/verify_nerf.pkl /tmp/verify_scene >> runs/verify_r3.log 2>&1
-sleep 30
-timeout 900 python -m learn_nerf_tpu.scripts.render_nerf --seed 0 --batch_size 1024 \
-  --coarse_samples 16 --fine_samples 16 --width 32 --height 32 \
-  --model_path /tmp/verify_nerf.pkl \
-  /tmp/verify_scene/metadata.json /tmp/verify_scene/0000.json /tmp/verify_out.png >> runs/verify_r3.log 2>&1
-env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "
-from PIL import Image; import numpy as np
-p = np.asarray(Image.open('/tmp/verify_out.png')).astype(np.float32)
-g = np.asarray(Image.open('/tmp/verify_scene/0000.png')).astype(np.float32)
-print('VERIFY dense PSNR', 10*np.log10(255**2/((p-g)**2).mean()))" >> runs/verify_r3.log 2>&1
-sleep 30
-# Occupancy NGP variant + pooled + auto budget (the flagship path).
-timeout 1200 python -m learn_nerf_tpu.scripts.train_nerf --seed 0 --lr 2e-3 --batch_size 1024 \
-  --instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 --occ_grid 64 \
-  --occ_train_budget auto --occ_train_budget_start 300 --steps 600 \
-  --save_path /tmp/verify_ngp.pkl /tmp/verify_scene >> runs/verify_r3.log 2>&1
-sleep 30
-# Render the occupancy checkpoint live and BAKED; report both PSNRs.
-timeout 900 python -m learn_nerf_tpu.scripts.render_nerf --seed 0 --batch_size 1024 \
-  --instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 --occ_grid 64 \
-  --occ_budget_per_ray auto --width 32 --height 32 \
-  --model_path /tmp/verify_ngp.pkl \
-  /tmp/verify_scene/metadata.json /tmp/verify_scene/0000.json /tmp/verify_occ.png >> runs/verify_r3.log 2>&1
-sleep 30
-timeout 900 python -m learn_nerf_tpu.scripts.render_nerf --seed 0 --batch_size 1024 \
-  --instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 --occ_grid 64 \
-  --occ_budget_per_ray auto --baked 128 --baked_pack 2 --width 32 --height 32 \
-  --model_path /tmp/verify_ngp.pkl \
-  /tmp/verify_scene/metadata.json /tmp/verify_scene/0000.json /tmp/verify_baked.png >> runs/verify_r3.log 2>&1
-env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "
-from PIL import Image; import numpy as np
-g = np.asarray(Image.open('/tmp/verify_scene/0000.png')).astype(np.float32)
-for name in ('/tmp/verify_occ.png', '/tmp/verify_baked.png'):
-    p = np.asarray(Image.open(name)).astype(np.float32)
-    print('VERIFY', name, 'PSNR', 10*np.log10(255**2/((p-g)**2).mean()))" >> runs/verify_r3.log 2>&1
-echo VERIFY_DONE
-sleep 30
-
 # ---- 0.5 baked-frame measurement (VERDICT round 3 #1) ----------------------
 timeout 3600 python tools/measure_baked.py runs/ours_ngp_long.pkl \
   runs/scene_train/metadata.json runs/scene_test/0000.json \
@@ -103,6 +55,54 @@ timeout 2400 python tools/measure_baked.py runs/ours_ngp_long.pkl \
   --span_candidates 64 --candidates 96 --pack 8 \
   > runs/measure_baked_256p8.log 2>&1
 sleep 60
+
+# ---- 0. verify drive -------------------------------------------------------
+env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "
+import sys; sys.path.insert(0, '/root/repo')
+from tests.synthetic_scene import write_dataset
+write_dataset('/tmp/verify_scene', num_views=8, resolution=32)" \
+  > runs/verify_r3.log 2>&1
+
+timeout 1200 python -m learn_nerf_tpu.scripts.train_nerf --seed 0 --lr 2e-3 --batch_size 1024 \
+  --coarse_samples 16 --fine_samples 16 --steps 600 \
+  --save_path /tmp/verify_nerf.pkl /tmp/verify_scene >> runs/verify_r3.log 2>&1
+sleep 30
+timeout 900 python -m learn_nerf_tpu.scripts.render_nerf --seed 0 --batch_size 1024 \
+  --coarse_samples 16 --fine_samples 16 --width 32 --height 32 \
+  --model_path /tmp/verify_nerf.pkl \
+  /tmp/verify_scene/metadata.json /tmp/verify_scene/0000.json /tmp/verify_out.png >> runs/verify_r3.log 2>&1
+env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "
+from PIL import Image; import numpy as np
+p = np.asarray(Image.open('/tmp/verify_out.png')).astype(np.float32)
+g = np.asarray(Image.open('/tmp/verify_scene/0000.png')).astype(np.float32)
+print('VERIFY dense PSNR', 10*np.log10(255**2/((p-g)**2).mean()))" >> runs/verify_r3.log 2>&1
+sleep 30
+# Occupancy NGP variant + pooled + auto budget (the flagship path).
+timeout 1200 python -m learn_nerf_tpu.scripts.train_nerf --seed 0 --lr 2e-3 --batch_size 1024 \
+  --instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 --occ_grid 64 \
+  --occ_train_budget auto --occ_train_budget_start 300 --steps 600 \
+  --save_path /tmp/verify_ngp.pkl /tmp/verify_scene >> runs/verify_r3.log 2>&1
+sleep 30
+# Render the occupancy checkpoint live and BAKED; report both PSNRs.
+timeout 900 python -m learn_nerf_tpu.scripts.render_nerf --seed 0 --batch_size 1024 \
+  --instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 --occ_grid 64 \
+  --occ_budget_per_ray auto --width 32 --height 32 \
+  --model_path /tmp/verify_ngp.pkl \
+  /tmp/verify_scene/metadata.json /tmp/verify_scene/0000.json /tmp/verify_occ.png >> runs/verify_r3.log 2>&1
+sleep 30
+timeout 900 python -m learn_nerf_tpu.scripts.render_nerf --seed 0 --batch_size 1024 \
+  --instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 --occ_grid 64 \
+  --occ_budget_per_ray auto --baked 128 --baked_pack 2 --width 32 --height 32 \
+  --model_path /tmp/verify_ngp.pkl \
+  /tmp/verify_scene/metadata.json /tmp/verify_scene/0000.json /tmp/verify_baked.png >> runs/verify_r3.log 2>&1
+env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "
+from PIL import Image; import numpy as np
+g = np.asarray(Image.open('/tmp/verify_scene/0000.png')).astype(np.float32)
+for name in ('/tmp/verify_occ.png', '/tmp/verify_baked.png'):
+    p = np.asarray(Image.open(name)).astype(np.float32)
+    print('VERIFY', name, 'PSNR', 10*np.log10(255**2/((p-g)**2).mean()))" >> runs/verify_r3.log 2>&1
+echo VERIFY_DONE
+sleep 30
 
 # ---- 0.6 multi-step dispatch training throughput ---------------------------
 timeout 1800 python -m learn_nerf_tpu.scripts.train_nerf --instant_ngp --batch_size 4096 \
