@@ -49,6 +49,38 @@ def fmt(x, spec=",.0f"):
     return format(x, spec) if x is not None else "—"
 
 
+def baked_frames(d):
+    """Frame-timing table from the measure_baked logs (queue7 0.5x)."""
+    import glob
+    import os
+
+    logs = sorted(glob.glob(f"{d}/measure_baked*.log"))
+    rows = []
+    for path in logs:
+        name = os.path.basename(path)[:-4]
+        with open(path) as f:
+            for ln in f:
+                m = re.match(
+                    r"(\S+): ([\d.]+) s/frame \(([\d,]+) rays/s\), "
+                    r"dropped (\d+)/(\d+)",
+                    ln,
+                )
+                if m:
+                    rows.append(
+                        (name, m.group(1), float(m.group(2)), m.group(3))
+                    )
+                p = re.match(r"(\S+): PSNR vs live ([\d.]+) dB", ln)
+                if p and rows:
+                    rows[-1] = rows[-1] + (float(p.group(2)),)
+    if rows:
+        print()
+        print("| run | config | s/frame | rays/s | PSNR vs live |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            psnr = f"{r[4]:.2f}" if len(r) > 4 else "—"
+            print(f"| {r[0]} | {r[1]} | {r[2]:.3f} | {r[3]} | {psnr} |")
+
+
 def main():
     d = sys.argv[1] if len(sys.argv) > 1 else "runs"
     rows = [
@@ -71,6 +103,7 @@ def main():
             f"| {label} | {fmt(rate)} | {fmt(fine, '.5f')} | "
             f"{fmt(psnr, '.2f')} |"
         )
+    baked_frames(d)
 
 
 if __name__ == "__main__":
