@@ -111,6 +111,19 @@ class OccupancyGrid:
         silently disables culling (or, at step 0, re-enters warmup).
         """
         if "occupancy_densities" in params:
+            ckpt_res = int(params.get("occupancy_resolution", self.resolution))
+            if ckpt_res != self.resolution:
+                # A 256^3 density vector indexed with 128-stride
+                # cell_indices reads garbage cells and can cull real
+                # surfaces — refuse instead.  (The render CLIs avoid this
+                # by letting the checkpointed resolution win,
+                # scripts/common.py; the train-resume path builds the grid
+                # from flags and must match.)
+                raise ValueError(
+                    f"checkpoint occupancy grid is {ckpt_res}^3 but this "
+                    f"grid is configured {self.resolution}^3; pass "
+                    f"--occ_grid {ckpt_res} to resume this checkpoint"
+                )
             return OccupancyGridState(
                 densities=jnp.asarray(params["occupancy_densities"]),
                 step=jnp.asarray(self.warmup_updates, jnp.int32),

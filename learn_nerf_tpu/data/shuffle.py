@@ -42,10 +42,13 @@ def _cache_signature(
     file's size and mtime enter the hash: a dataset regenerated *in
     place* under the same filenames (``make_blender_standin``-style
     ``exist_ok`` writers) must invalidate the cache — matching paths
-    alone would silently serve rays of the old images.
+    alone would silently serve rays of the old images.  The camera
+    parameters enter too (shard rows bake ray origins/directions from
+    them): pose refinement that rewrites only the ``*.json`` files must
+    also invalidate, or training streams stale ray geometry.
     """
     h = hashlib.md5()
-    h.update(f"v3:{num_shards}:{process_count}:{len(views)}".encode())
+    h.update(f"v4:{num_shards}:{process_count}:{len(views)}".encode())
     for view in views:
         path = str(getattr(view, "image_path", ""))
         h.update(path.encode())
@@ -55,6 +58,9 @@ def _cache_signature(
                 h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
             except OSError:
                 pass
+        camera = getattr(view, "to_json", None)
+        if camera is not None:
+            h.update(camera().encode())
         h.update(b"\x00")
     return h.hexdigest()
 

@@ -207,8 +207,8 @@ class OccupancyRenderer:
                 f"probes for a {rs}^3 supergrid (occupancy grid "
                 f"{self.grid.resolution}, span_pool_factor {factor}): "
                 f"need >= {needed} to guarantee no occupied supercell is "
-                f"skipped. Raise --occ_span_candidates or raise the pool "
-                f"factor."
+                f"skipped. Raise --occ_span_candidates or raise "
+                f"--occ_span_pool_factor."
             )
         n_coarse = self.span_candidates
         densities = jax.lax.stop_gradient(grid_state.densities)
@@ -348,13 +348,25 @@ class OccupancyRenderer:
         dt_scaled = dt * delta_scale  # [N, 1]
         sig_dt = density[..., 0] * pool_valid * dt_scaled[safe_ray, 0]
 
-        # Segmented exclusive scan: global cumsum minus each ray's base.
-        acc_excl = jnp.cumsum(sig_dt) - sig_dt
+        # Segmented exclusive scan via an id-reset associative operator.
+        # (A global cumsum minus each ray's base is cheaper but subtracts
+        # two numbers of tile-total optical-depth magnitude in f32 — the
+        # within-ray exponent then carries ~total*1e-7 absolute error,
+        # 0.5%+ transmittance noise for trailing rays of big pools.  The
+        # reset scan keeps every partial sum at within-ray magnitude.
+        # The operator is associative because pool_ray is sorted: slots
+        # are assigned ray-major, so segments are contiguous.)
+        def _seg_add(a, b):
+            a_sum, a_id = a
+            b_sum, b_id = b
+            return jnp.where(a_id == b_id, a_sum + b_sum, b_sum), b_id
+
+        acc_incl, _ = jax.lax.associative_scan(_seg_add, (sig_dt, pool_ray))
+        acc_excl = acc_incl - sig_dt
         ray_total = jax.ops.segment_sum(
             sig_dt, pool_ray, num_segments=n + 1, indices_are_sorted=True
         )[:n]
-        ray_base = jnp.cumsum(ray_total) - ray_total
-        survive = jnp.exp(-(acc_excl - ray_base[safe_ray]))
+        survive = jnp.exp(-acc_excl)
         weights = survive * (1.0 - jnp.exp(-sig_dt)) * pool_valid  # [budget]
 
         def ray_sum(values):
@@ -595,7 +607,19 @@ def render_frame_occupancy(
     per_chunk = n_dev * tile_size
     num_tiles = -(-m // per_chunk) * n_dev
     padded = num_tiles * tile_size
-    rays_p = jnp.pad(rays, ((0, padded - m), (0, 0), (0, 0)))
+    if padded > m:
+        # Pad with rays that provably MISS the bbox (origin beyond the max
+        # corner, direction pointing further away).  Zero-padding would
+        # pass the slab test (origin 0, direction 0 -> t_exit ~ 1/eps),
+        # soak up pooled slots at the scene center, and inflate the
+        # selected/dropped counters — spurious overflow escalations.
+        far_corner = jnp.asarray(renderer.bbox_max, jnp.float32) + 1.0
+        pad_ray = jnp.stack([far_corner, jnp.ones(3, jnp.float32)])
+        rays_p = jnp.concatenate(
+            [rays, jnp.broadcast_to(pad_ray, (padded - m, 2, 3))], axis=0
+        )
+    else:
+        rays_p = rays
     pooled = budget_per_ray is not None
     if pooled:
         # Interleave rays across tiles (tile g takes rays g, g+G, g+2G, ...)

@@ -126,6 +126,15 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "--occ_candidates inside it (fewer grid gathers per ray at finer "
         "effective resolution; 64 is a good value for a 128 grid)",
     )
+    parser.add_argument(
+        "--occ_span_pool_factor",
+        type=int,
+        default=8,
+        help="supergrid pooling factor for --occ_span_candidates (must "
+        "divide the occupancy grid resolution; raising it coarsens the "
+        "span probe so fewer span candidates are needed: required "
+        "candidates = 2*sqrt(3)*grid/factor)",
+    )
 
 
 def create_model(
@@ -315,6 +324,7 @@ def build_occupancy_renderer(args, metadata: ModelMetadata, fine, params):
         candidates=args.occ_candidates,
         samples=args.occ_samples,
         span_candidates=getattr(args, "occ_span_candidates", 0),
+        span_pool_factor=getattr(args, "occ_span_pool_factor", 8),
         **bbox,
     )
     return renderer, grid_state

@@ -158,7 +158,9 @@ class RenderSession:
         rays = view.bare_rays(width, height)
         self.key, this_key = jax.random.split(self.key)
         colors = np.asarray(self._render(this_key, rays))
-        image = ((colors.reshape(height, width, 3) + 1) * 127.5).astype(np.uint8)
+        image = np.clip(
+            (colors.reshape(height, width, 3) + 1) * 127.5, 0, 255
+        ).astype(np.uint8)
         self.images.append(image)
         return image
 

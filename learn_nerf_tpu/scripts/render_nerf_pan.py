@@ -16,10 +16,12 @@ from .render_nerf import RenderSession, argparser
 FOV = math.radians(60.0)
 
 
-def orbit_plane(random_axis: bool) -> np.ndarray:
+def orbit_plane(random_axis: bool, rng=None) -> np.ndarray:
     """Rows: [rotation axis, in-plane basis 1, in-plane basis 2]."""
     if random_axis:
-        axis = np.random.normal(size=3)
+        # Seeded when the CLI passes --seed: the random orbit must be
+        # reproducible under the flag that promises reproducibility.
+        axis = (rng or np.random).normal(size=3)
         axis /= np.linalg.norm(axis)
         b1 = np.array([-axis[2], 0.0, axis[0]])
         b1 /= np.linalg.norm(b1)
@@ -35,9 +37,10 @@ def orbit_views(
     bbox_max,
     distance: float,
     random_axis: bool = False,
+    rng=None,
 ):
     """All orbit cameras at once (vectorized over frames)."""
-    axis, b1, b2 = orbit_plane(random_axis)
+    axis, b1, b2 = orbit_plane(random_axis, rng)
     center = (np.asarray(bbox_min) + np.asarray(bbox_max)) / 2
     radius = distance * float(
         np.linalg.norm(np.asarray(bbox_max) - np.asarray(bbox_min))
@@ -75,6 +78,9 @@ def main(argv=None):
         session.metadata.bbox_max,
         args.distance,
         args.random_axis,
+        rng=np.random.RandomState(args.seed)
+        if getattr(args, "seed", None) is not None
+        else None,
     )
     for view in progress(views, desc="frames", total=args.frames):
         session.render_view(view)

@@ -120,8 +120,12 @@ def main(argv=None):
 
     from ..utils.progress import progress
 
+    # Poses from the CLI seed: --seed N must reproduce the same distilled
+    # dataset (the JAX render keys alone are not enough).  Without --seed,
+    # fresh random poses per run, like the reference.
+    pose_rng = np.random.RandomState(args.seed)
     for frame in progress(range(args.num_images), desc="frames"):
-        z = np.random.normal(size=(3,))
+        z = pose_rng.normal(size=(3,))
         z /= np.linalg.norm(z)
         x = np.array([z[1], -z[0], 0.0])
         x /= np.linalg.norm(x)
@@ -155,9 +159,11 @@ def main(argv=None):
             / args.max_depth
         )
 
-        image = ((results["outputs"].reshape(args.size, args.size, 3) + 1) * 127.5).astype(
-            np.uint8
-        )
+        image = np.clip(
+            (results["outputs"].reshape(args.size, args.size, 3) + 1) * 127.5,
+            0,
+            255,
+        ).astype(np.uint8)
         Image.fromarray(image).save(os.path.join(args.output_dir, f"{frame:05}.png"))
         depth_image = (depth.reshape(args.size, args.size) * 0xFFFF).astype(np.uint16)
         Image.fromarray(depth_image).save(

@@ -256,17 +256,40 @@ class TrainLoop:
     # -- checkpointing ----------------------------------------------------
 
     def save(self, path: str) -> None:
-        """Write the reference-compatible params pickle (atomic)."""
+        """Write the reference-compatible params pickle (atomic).
+
+        Adds ``train_host_step`` next to the reference's
+        ``coarse/fine/background`` keys (render CLIs index by name, so
+        the extra key is inert to them) so a pickle resume continues the
+        ``step_auto`` PRNG stream instead of replaying keys from 0 —
+        same design as :meth:`OccupancyTrainLoop.save`.
+        """
         from .checkpoint import save_params_pickle
 
-        save_params_pickle(path, self.state.params)
+        payload = dict(
+            self.state.params, train_host_step=np.int64(int(self.state.step))
+        )
+        save_params_pickle(path, payload)
 
     def load(self, path: str) -> None:
         """Load params from a reference-compatible pickle."""
         from .checkpoint import load_params_pickle
 
-        params = load_params_pickle(path)
+        payload = load_params_pickle(path)
+        params = dict(
+            coarse=payload["coarse"],
+            fine=payload["fine"],
+            background=payload["background"],
+        )
         state = self.state.replace(params=params)
+        if "train_host_step" in payload:
+            # step_auto derives per-step keys as fold_in(base, state.step);
+            # restarting at 0 would replay the original run's key sequence
+            # against already-trained params.  Reference pickles lack the
+            # key (their resume has the same flaw) — nothing to restore.
+            state = state.replace(
+                step=jnp.asarray(int(payload["train_host_step"]))
+            )
         self.state = jax.device_put(state, replicated_sharding(self.mesh))
 
     def save_full(self, path: str) -> None:

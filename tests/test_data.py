@@ -279,3 +279,27 @@ def test_shuffle_cache_invalidates_on_file_content_change():
         sig_mid = _cache_signature(views, 4, 1)
         os.utime(path, ns=(1, 10**15))
         assert _cache_signature(views, 4, 1) != sig_mid
+
+
+def test_shuffle_cache_invalidates_on_pose_change():
+    """The signature covers the camera parameters: pose refinement that
+    rewrites only the *.json files (images untouched) must invalidate —
+    shard rows bake ray origins/directions from the poses."""
+    from learn_nerf_tpu.data.camera import CameraView
+    from learn_nerf_tpu.data.shuffle import _cache_signature
+
+    def view(origin):
+        v = CameraView(
+            camera_direction=(0.0, 0.0, 1.0),
+            camera_origin=origin,
+            x_axis=(1.0, 0.0, 0.0),
+            y_axis=(0.0, 1.0, 0.0),
+            x_fov=1.0,
+            y_fov=1.0,
+        )
+        v.image_path = ""  # no image file; pose-only signature
+        return v
+
+    sig_a = _cache_signature([view((0.0, 0.0, -3.0))], 4, 1)
+    assert sig_a == _cache_signature([view((0.0, 0.0, -3.0))], 4, 1)
+    assert sig_a != _cache_signature([view((0.0, 0.1, -3.0))], 4, 1)

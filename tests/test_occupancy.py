@@ -1390,3 +1390,69 @@ def test_cli_steps_per_dispatch(tmp_path):
     from PIL import Image
 
     assert np.asarray(Image.open(out_png)).shape == (16, 16, 3)
+
+
+def test_grid_resolution_mismatch_rejected():
+    """Resuming a checkpointed grid into a differently-sized OccupancyGrid
+    must raise: indexing a 16^3 density vector with 8-stride cell_indices
+    silently corrupts culling (VERDICT/review round 3)."""
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    payload = dict(
+        occupancy_densities=np.zeros(16**3, np.float32),
+        occupancy_resolution=np.int32(16),
+    )
+    with pytest.raises(ValueError, match="--occ_grid 16"):
+        grid.state_from_checkpoint(payload)
+    # Matching resolution loads fine; missing resolution key is accepted
+    # (older checkpoints) and trusted to match.
+    ok = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16)
+    state = ok.state_from_checkpoint(payload)
+    assert state.densities.shape == (16**3,)
+    legacy = dict(occupancy_densities=np.zeros(8**3, np.float32))
+    assert grid.state_from_checkpoint(legacy).densities.shape == (8**3,)
+
+
+def test_pooled_transmittance_precision_at_scale():
+    """Compositing precision must not degrade with pool size: the pooled
+    path's per-ray transmittance comes from a segment-reset scan, not a
+    difference of tile-global cumsums (whose f32 error grows linearly with
+    the pool's total optical depth — ~3e-4 for trailing rays at this size,
+    which this tolerance would catch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    model, params = _small_model_and_params()
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    grid_state = grid.init().replace(
+        densities=jnp.ones(8**3, jnp.float32),  # everything occupied
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+
+    c = 16
+    renderer = OccupancyRenderer(
+        model=model,
+        grid=grid,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=c,
+        samples=c,
+    )
+    n = 2048
+    rays = jnp.asarray(_random_rays(n, seed=11))
+    background = jnp.asarray([0.3, -0.2, 0.8])
+    key = jax.random.PRNGKey(13)
+
+    ref_out, _ = renderer.render_rays(key, rays, params, background, grid_state)
+    pooled = renderer.render_rays_pooled(
+        key, rays, params, background, grid_state,
+        budget=n * c, transmittance_eps=0.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled["outputs"]), np.asarray(ref_out["outputs"]),
+        rtol=0, atol=2e-6,
+    )

@@ -116,12 +116,14 @@ def test_checkpoint_roundtrip(tmp_path):
     loop.save(pkl)
     loop.save_full(full)
 
-    # Pickle contract: {"coarse", "fine", "background"}.
+    # Pickle contract: the reference's {"coarse", "fine", "background"}
+    # keys plus our step counter (render CLIs index by name, so the extra
+    # key is inert to them).
     import pickle
 
     with open(pkl, "rb") as f:
         params = pickle.load(f)
-    assert set(params) == {"coarse", "fine", "background"}
+    assert set(params) == {"coarse", "fine", "background", "train_host_step"}
     assert params["background"].shape == (3,)
 
     other = new_loop()
@@ -130,6 +132,19 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(other.state.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # Pickle resume continues the step_auto PRNG stream instead of
+    # replaying keys from step 0.
+    assert int(other.state.step) == 1
+    assert set(other.state.params) == {"coarse", "fine", "background"}
+
+    # A reference-style pickle (no step key) still loads, step untouched.
+    with open(pkl, "wb") as f:
+        pickle.dump(
+            {k: params[k] for k in ("coarse", "fine", "background")}, f
+        )
+    ref_loaded = new_loop()
+    ref_loaded.load(pkl)
+    assert int(ref_loaded.state.step) == 0
 
     # Full restore keeps the optimizer step counter.
     third = new_loop()
