@@ -131,7 +131,7 @@ class TrainLoop:
         coarse: FieldModel,
         fine: FieldModel,
         init_rng: jax.Array,
-        lr: float,
+        lr: "float | optax.Schedule",
         coarse_ts: int,
         fine_ts: int,
         bbox_min,
@@ -432,7 +432,7 @@ class OccupancyTrainLoop:
         self,
         model: FieldModel,
         init_rng: jax.Array,
-        lr: float,
+        lr: "float | optax.Schedule",
         bbox_min,
         bbox_max,
         candidates: int = 192,

@@ -316,3 +316,49 @@ def test_render_frame_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), rtol=1e-4, atol=1e-5
     )
+
+
+def test_lr_schedule_drives_optimizer():
+    """Both loops accept an optax schedule in place of a float lr (the
+    --lr_schedule cosine CLI path).  The schedule is indexed by the
+    optimizer step count, so a decay to 0 after one step must freeze the
+    params exactly — pinning that the schedule, not a snapshotted float,
+    drives each update."""
+    import jax
+    import optax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import TrainLoop
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=2, mid_layers=1)
+    # Step 0 at lr 1e-2; every later step at exactly 0.
+    schedule = optax.join_schedules(
+        [optax.constant_schedule(1e-2), optax.constant_schedule(0.0)],
+        boundaries=[1],
+    )
+    loop = TrainLoop(
+        model,
+        model,
+        init_rng=jax.random.PRNGKey(0),
+        lr=schedule,
+        coarse_ts=4,
+        fine_ts=4,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+    )
+    batch = make_batch(64)
+    key = jax.random.PRNGKey(1)
+    def snapshot():
+        # The step donates the state, so copy off-device before stepping.
+        return [np.asarray(x) for x in jax.tree_util.tree_leaves(loop.state.params)]
+
+    p0 = snapshot()
+    loop.step(jax.random.fold_in(key, 0), batch)
+    p1 = snapshot()
+    # First step moved the params...
+    assert any(not np.allclose(a, b) for a, b in zip(p0, p1))
+    loop.step(jax.random.fold_in(key, 1), batch)
+    p2 = snapshot()
+    # ...the zero-lr step moved nothing.
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)
