@@ -154,3 +154,16 @@ sleep 30
 timeout 1200 python -m learn_nerf_tpu.scripts.eval_psnr --batch_size 4096 --occupancy \
   --model_path runs/blender_e2e.pkl runs/scene_blender_test >> runs/blender_e2e.log 2>&1
 echo QUEUE7 DONE
+
+# ---- 8. cosine-schedule flagship quality row --------------------------------
+# Ours-only improvement: the round-3 --lr_schedule cosine endpoint pinning,
+# measured on the benchmark scene at the flagship config (compare with the
+# constant-lr 17.02 dB row in BASELINE.md).
+timeout 2400 python -m learn_nerf_tpu.scripts.train_nerf --instant_ngp --batch_size 4096 \
+  --lr 1e-2 --seed 0 --occupancy --occ_train_budget 12 --occ_train_budget_start 400 \
+  --lr_schedule cosine --steps 1500 \
+  --save_path runs/ours_ngp_cosine.pkl runs/scene_train > runs/ours_ngp_cosine.log 2>&1
+sleep 60
+timeout 2400 python -m learn_nerf_tpu.scripts.eval_psnr --batch_size 4096 --instant_ngp --occupancy \
+  --model_path runs/ours_ngp_cosine.pkl runs/scene_test > runs/eval_ours_ngp_cosine.log 2>&1
+echo QUEUE7_PLUS_COSINE DONE
