@@ -37,6 +37,15 @@ def build_parser() -> argparse.ArgumentParser:
         default=0.1,
         help="cosine schedule floor as a fraction of --lr",
     )
+    parser.add_argument(
+        "--ema",
+        type=float,
+        default=None,
+        help="Polyak-average the weights with this decay (e.g. 0.99) and "
+        "checkpoint/render the average — Instant NGP's eval-weight EMA. "
+        "Rides over constant-lr Adam's near-convergence oscillation, so "
+        "the saved quality stops depending on the stop step",
+    )
     parser.add_argument("--batch_size", type=int, default=4096, help="rays per batch")
     parser.add_argument(
         "--test_batch_size", type=int, default=None, help="rays per test batch"
@@ -161,6 +170,7 @@ def main(argv=None):
             pool_start_step=args.occ_train_budget_start,
             pool_t_eps=args.occ_train_t_eps,
             grid_warmup_updates=args.occ_warmup,
+            ema_decay=args.ema,
             **train_kwargs,
         )
     else:
@@ -175,6 +185,7 @@ def main(argv=None):
             bbox_max=data.metadata.bbox_max,
             density_penalty=args.density_penalty,
             density_penalty_batch_size=args.density_penalty_batch_size,
+            ema_decay=args.ema,
             **train_kwargs,
         )
     if (

@@ -116,6 +116,43 @@ def compute_losses(
     return total, loss_dict
 
 
+class EmaTrainState(train_state.TrainState):
+    """TrainState plus Polyak-averaged eval params.
+
+    ``ema_params`` is ``None`` when EMA is disabled (the default) — the
+    field then adds nothing to the checkpoint or the compiled step.  When
+    enabled (``ema_decay`` on the loops / ``--ema`` on the train CLI) the
+    step updates ``ema <- decay * ema + (1 - decay) * params`` in-jit and
+    checkpoints/rendering read the averaged weights.  Constant-lr Adam
+    oscillates near convergence (~10x loss excursions, docs/DESIGN.md
+    section 3); the average rides over the oscillation, so the endpoint
+    stops depending on the stop-step phase.  Instant NGP trains with the
+    same trick (EMA of weights for eval).
+    """
+
+    ema_params: Any = None
+
+
+def _ema_seed(params: Any) -> Any:
+    """Independent copy of ``params`` to seed the average.
+
+    The step donates the whole state; an EMA tree that ALIASES the param
+    buffers would hand the same buffer to XLA twice (donation error).
+    """
+    return jax.tree_util.tree_map(jnp.copy, params)
+
+
+def _ema_step(state: EmaTrainState, decay: float) -> EmaTrainState:
+    """One in-jit EMA update after ``apply_gradients``."""
+    return state.replace(
+        ema_params=jax.tree_util.tree_map(
+            lambda e, p: e * decay + p * (1.0 - decay),
+            state.ema_params,
+            state.params,
+        )
+    )
+
+
 class TrainLoop:
     """Stateful training loop over a coarse/fine hierarchy.
 
@@ -142,6 +179,7 @@ class TrainLoop:
         loss_weights: Optional[Dict[str, float]] = None,
         density_penalty: Optional[float] = None,
         density_penalty_batch_size: int = 128,
+        ema_decay: Optional[float] = None,
         mesh: Optional[Mesh] = None,
     ):
         self.renderer = Renderer(
@@ -159,18 +197,21 @@ class TrainLoop:
         self.density_penalty_batch_size = density_penalty_batch_size
         self.mesh = mesh if mesh is not None else default_mesh()
 
+        self.ema_decay = ema_decay
         coarse_rng, fine_rng = jax.random.split(init_rng)
         example = jnp.zeros((1, 3))
         coarse_vars = coarse.init(dict(params=coarse_rng), example, example)
         fine_vars = fine.init(dict(params=fine_rng), example, example)
-        state = train_state.TrainState.create(
+        params = dict(
+            coarse=coarse_vars["params"],
+            fine=fine_vars["params"],
+            background=jnp.array([-1.0, -1.0, -1.0]),
+        )
+        state = EmaTrainState.create(
             apply_fn=None,
-            params=dict(
-                coarse=coarse_vars["params"],
-                fine=fine_vars["params"],
-                background=jnp.array([-1.0, -1.0, -1.0]),
-            ),
+            params=params,
             tx=optax.adam(lr, b1=adam_b1, b2=adam_b2, eps=adam_eps),
+            ema_params=_ema_seed(params) if ema_decay is not None else None,
         )
         # Replicate once; GSPMD propagates shardings from the operands.
         self.state = jax.device_put(state, replicated_sharding(self.mesh))
@@ -192,7 +233,10 @@ class TrainLoop:
             values = dict(
                 values, grad_norm=tree_norm(grads), param_norm=tree_norm(state.params)
             )
-            return state.apply_gradients(grads=grads), values
+            state = state.apply_gradients(grads=grads)
+            if self.ema_decay is not None:
+                state = _ema_step(state, self.ema_decay)
+            return state, values
 
         @partial(jax.jit, donate_argnums=0)
         def step(state, key, batch):
@@ -255,10 +299,19 @@ class TrainLoop:
 
     # -- checkpointing ----------------------------------------------------
 
+    @property
+    def eval_params(self):
+        """Params rendering/checkpoints should use: the Polyak average
+        when ``ema_decay`` is set, the raw train params otherwise."""
+        if self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
     def save(self, path: str) -> None:
         """Write the reference-compatible params pickle (atomic).
 
-        Adds ``train_host_step`` next to the reference's
+        Saves :attr:`eval_params` (the EMA weights when enabled).  Adds
+        ``train_host_step`` next to the reference's
         ``coarse/fine/background`` keys (render CLIs index by name, so
         the extra key is inert to them) so a pickle resume continues the
         ``step_auto`` PRNG stream instead of replaying keys from 0 —
@@ -267,7 +320,7 @@ class TrainLoop:
         from .checkpoint import save_params_pickle
 
         payload = dict(
-            self.state.params, train_host_step=np.int64(int(self.state.step))
+            self.eval_params, train_host_step=np.int64(int(self.state.step))
         )
         save_params_pickle(path, payload)
 
@@ -281,7 +334,13 @@ class TrainLoop:
             fine=payload["fine"],
             background=payload["background"],
         )
-        state = self.state.replace(params=params)
+        state = self.state.replace(
+            params=params,
+            # A params pickle has one tree: seed the average from it.
+            ema_params=_ema_seed(params)
+            if self.state.ema_params is not None
+            else None,
+        )
         if "train_host_step" in payload:
             # step_auto derives per-step keys as fold_in(base, state.step);
             # restarting at 0 would replay the original run's key sequence
@@ -451,6 +510,7 @@ class OccupancyTrainLoop:
         pool_start_step: int = 512,
         pool_t_eps: float = 0.0,
         grid_warmup_updates: int = 16,
+        ema_decay: Optional[float] = None,
         mesh: Optional[Mesh] = None,
     ):
         bbox_min_t = tuple(np.asarray(bbox_min, dtype=np.float32).tolist())
@@ -478,15 +538,18 @@ class OccupancyTrainLoop:
         self.update_cells = update_cells
         self.mesh = mesh if mesh is not None else default_mesh()
 
+        self.ema_decay = ema_decay
         example = jnp.zeros((1, 3))
         variables = model.init(dict(params=init_rng), example, example)
-        state = train_state.TrainState.create(
+        params = dict(
+            fine=variables["params"],
+            background=jnp.array([-1.0, -1.0, -1.0]),
+        )
+        state = EmaTrainState.create(
             apply_fn=None,
-            params=dict(
-                fine=variables["params"],
-                background=jnp.array([-1.0, -1.0, -1.0]),
-            ),
+            params=params,
             tx=optax.adam(lr, b1=adam_b1, b2=adam_b2, eps=adam_eps),
+            ema_params=_ema_seed(params) if ema_decay is not None else None,
         )
         self.state = jax.device_put(state, replicated_sharding(self.mesh))
         self.grid_state = jax.device_put(
@@ -515,7 +578,10 @@ class OccupancyTrainLoop:
             values = dict(
                 values, grad_norm=tree_norm(grads), param_norm=tree_norm(state.params)
             )
-            return state.apply_gradients(grads=grads), values
+            state = state.apply_gradients(grads=grads)
+            if self.ema_decay is not None:
+                state = _ema_step(state, self.ema_decay)
+            return state, values
 
         @partial(jax.jit, donate_argnums=0)
         def step(state, key, batch, grid_state):
@@ -553,7 +619,10 @@ class OccupancyTrainLoop:
             values = dict(
                 values, grad_norm=tree_norm(grads), param_norm=tree_norm(state.params)
             )
-            return state.apply_gradients(grads=grads), values
+            state = state.apply_gradients(grads=grads)
+            if self.ema_decay is not None:
+                state = _ema_step(state, self.ema_decay)
+            return state, values
 
         @partial(jax.jit, donate_argnums=0, static_argnums=4)
         def step_pooled(state, key, batch, grid_state, budget):
@@ -805,15 +874,18 @@ class OccupancyTrainLoop:
             self.state.params, key, self.shard_batch(batch), self.grid_state
         )
 
+    eval_params = TrainLoop.eval_params
+
     def save(self, path: str) -> None:
-        """Checkpoint: params plus the occupancy grid densities and the
-        loop's step counter (so a pickle resume keeps its cadence —
-        pooled switchover, grid-refresh phase — instead of re-waiting
-        ``pool_start_step`` dense steps; VERDICT round 2)."""
+        """Checkpoint: params (the EMA average when enabled) plus the
+        occupancy grid densities and the loop's step counter (so a pickle
+        resume keeps its cadence — pooled switchover, grid-refresh phase —
+        instead of re-waiting ``pool_start_step`` dense steps; VERDICT
+        round 2)."""
         from .checkpoint import save_params_pickle
 
         payload = dict(
-            self.state.params,
+            self.eval_params,
             occupancy_densities=self.grid_state.densities,
             occupancy_resolution=np.int32(self.grid.resolution),
             occupancy_host_step=np.int64(self._host_step),
@@ -825,7 +897,13 @@ class OccupancyTrainLoop:
 
         payload = load_params_pickle(path)
         params = dict(fine=payload["fine"], background=payload["background"])
-        state = self.state.replace(params=params)
+        state = self.state.replace(
+            params=params,
+            # A params pickle has one tree: seed the average from it.
+            ema_params=_ema_seed(params)
+            if self.state.ema_params is not None
+            else None,
+        )
         if "occupancy_host_step" in payload:
             # Sync the optimizer step counter too: step_auto keys and the
             # scanned path's in-jit refresh cadence both fold state.step,

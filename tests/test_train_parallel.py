@@ -362,3 +362,76 @@ def test_lr_schedule_drives_optimizer():
     # ...the zero-lr step moved nothing.
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_ema_eval_params_recurrence_and_checkpoint(tmp_path):
+    """--ema semantics: the step maintains ema <- d*ema + (1-d)*params
+    in-jit (pinned against a manual recurrence), eval_params/save expose
+    the average, and the full-state checkpoint round-trips it."""
+    import pickle
+
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import TrainLoop
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=2, mid_layers=1)
+
+    def new_loop(ema):
+        return TrainLoop(
+            model,
+            model,
+            init_rng=jax.random.PRNGKey(0),
+            lr=1e-2,
+            coarse_ts=4,
+            fine_ts=4,
+            bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1),
+            ema_decay=ema,
+        )
+
+    loop = new_loop(0.5)
+    batch = make_batch(64)
+    key = jax.random.PRNGKey(1)
+
+    def leaves(tree):
+        return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+
+    manual = leaves(loop.state.params)  # ema seeds from init params
+    for i in range(3):
+        loop.step(jax.random.fold_in(key, i), batch)
+        params = leaves(loop.state.params)
+        manual = [0.5 * e + 0.5 * p for e, p in zip(manual, params)]
+    for e, a in zip(manual, leaves(loop.eval_params)):
+        np.testing.assert_allclose(e, a, rtol=1e-6, atol=1e-7)
+    # The average lags the raw params (they differ after a moving step).
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(leaves(loop.state.params), leaves(loop.eval_params))
+    )
+
+    # save() writes the average; a fresh EMA loop resumes from it.
+    pkl = str(tmp_path / "ema.pkl")
+    loop.save(pkl)
+    with open(pkl, "rb") as f:
+        payload = pickle.load(f)
+    np.testing.assert_allclose(
+        np.asarray(payload["background"]),
+        np.asarray(jax.tree_util.tree_leaves(loop.eval_params)[0]),
+    )
+    resumed = new_loop(0.5)
+    resumed.load(pkl)
+    assert resumed.state.ema_params is not None
+
+    # Full-state checkpoint round-trips the subclassed field.
+    full = str(tmp_path / "ema.msgpack")
+    loop.save_full(full)
+    other = new_loop(0.5)
+    other.load_full(full)
+    for a, b in zip(leaves(loop.eval_params), leaves(other.eval_params)):
+        np.testing.assert_array_equal(a, b)
+
+    # Disabled (default): no EMA tree, eval_params is the raw params.
+    off = new_loop(None)
+    assert off.state.ema_params is None
+    assert off.eval_params is off.state.params
