@@ -89,6 +89,12 @@ def main():
         ("reference Instant-NGP (dense 64c+192f)", "ref_ngp", "eval_ref_ngp"),
         ("ours Instant-NGP + occupancy", "ours_ngp", "eval_ours_ngp"),
         ("ours Instant-NGP + occupancy, pooled train", "ours_ngp_pooled", None),
+        ("ours NGP + occ, pooled, 8-step scan dispatch", "ours_ngp_scan8", None),
+        (
+            "ours NGP + occ, pooled, cosine lr",
+            "ours_ngp_cosine",
+            "eval_ours_ngp_cosine",
+        ),
         ("reference Ref-NeRF (dense 64c+192f)", "ref_refnerf", "eval_ref_refnerf"),
         ("ours Ref-NeRF + occupancy", "ours_refnerf_1500", "eval_ours_refnerf_1500"),
         ("ours NGP x Ref-NeRF + occupancy", "ours_ngpref", "eval_ours_ngpref"),
