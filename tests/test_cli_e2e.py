@@ -259,3 +259,61 @@ def test_plot_log_cli(tmp_path):
     out = str(tmp_path / "plot.png")
     plot_log.main(["--field", "fine", "--smoothing", "2", "--output", out, str(log)])
     assert os.path.getsize(out) > 0
+
+
+def test_train_lr_schedule_and_ema_flags(tiny_dataset, tmp_path):
+    """--lr_schedule cosine + --ema 0.99 train end-to-end through the CLI
+    and produce a checkpoint the render CLI consumes unchanged (EMA saves
+    the averaged weights under the standard keys)."""
+    import pickle
+
+    from learn_nerf_tpu.scripts import render_nerf, train_nerf
+
+    save_path = str(tmp_path / "nerf_sched.pkl")
+    train_nerf.main(
+        [
+            "--seed", "0",
+            "--lr", "1e-3",
+            "--lr_schedule", "cosine",
+            "--ema", "0.99",
+            "--batch_size", "256",
+            "--coarse_samples", "8",
+            "--fine_samples", "8",
+            "--steps", "6",
+            "--save_path", save_path,
+            tiny_dataset,
+        ]
+    )
+    with open(save_path, "rb") as f:
+        payload = pickle.load(f)
+    assert {"coarse", "fine", "background"} <= set(payload)
+
+    out_png = str(tmp_path / "sched.png")
+    render_nerf.main(
+        [
+            "--seed", "0",
+            "--batch_size", "128",
+            "--coarse_samples", "8",
+            "--fine_samples", "8",
+            "--width", "16",
+            "--height", "16",
+            "--model_path", save_path,
+            os.path.join(tiny_dataset, "metadata.json"),
+            os.path.join(tiny_dataset, "0000.json"),
+            out_png,
+        ]
+    )
+    from PIL import Image
+
+    assert np.asarray(Image.open(out_png)).shape == (16, 16, 3)
+
+    # cosine without --steps is a usage error, not a silent constant.
+    with pytest.raises(SystemExit):
+        train_nerf.main(
+            [
+                "--lr_schedule", "cosine",
+                "--batch_size", "64",
+                "--save_path", str(tmp_path / "x.pkl"),
+                tiny_dataset,
+            ]
+        )
