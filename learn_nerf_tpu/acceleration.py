@@ -23,6 +23,7 @@ from typing import Any, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
@@ -111,7 +112,18 @@ class OccupancyGrid:
         silently disables culling (or, at step 0, re-enters warmup).
         """
         if "occupancy_densities" in params:
-            ckpt_res = int(params.get("occupancy_resolution", self.resolution))
+            # The density vector's own length is the ground truth for the
+            # checkpointed resolution — the occupancy_resolution key is
+            # newer than some checkpoints, and a legacy mismatch must not
+            # slip past just because the key is absent.
+            n = int(np.size(params["occupancy_densities"]))
+            ckpt_res = int(round(n ** (1.0 / 3.0)))
+            ckpt_res = int(params.get("occupancy_resolution", ckpt_res))
+            if ckpt_res**3 != n:
+                raise ValueError(
+                    f"corrupt occupancy grid: {n} densities is not a cube "
+                    f"of the recorded resolution {ckpt_res}"
+                )
             if ckpt_res != self.resolution:
                 # A 256^3 density vector indexed with 128-stride
                 # cell_indices reads garbage cells and can cull real

@@ -90,7 +90,48 @@ def save_train_state(path: str, state: Any) -> None:
     _atomic_write(path, serialization.to_bytes(jax.device_get(state)))
 
 
+def _reconcile_ema(raw: Any, target: Any) -> Any:
+    """Migrate ``ema_params`` mismatches between a serialized state dict
+    and the loading template's state dict.
+
+    Four cases (the field was added after the first full-state format):
+
+    * blob lacks the field, template has it disabled (``None``): nothing.
+    * blob lacks it, template has an EMA tree: seed the average from the
+      blob's ``params`` (an old checkpoint resumed with ``--ema``).
+    * blob has a tree, template disabled: drop it (resumed without
+      ``--ema``; raw params continue, the stale average must not leak
+      into eval — see ``TrainLoop.eval_params``).
+    * blob has ``None`` (saved EMA-off), template enabled: seed from
+      ``params``.
+    """
+    if isinstance(raw, dict) and isinstance(target, dict):
+        t_ema, r_ema = target.get("ema_params"), raw.get("ema_params")
+        if "params" in target:  # a TrainState-shaped node
+            if t_ema is None:
+                raw.pop("ema_params", None)
+                if "ema_params" in target:
+                    raw["ema_params"] = None
+            elif r_ema is None:
+                raw["ema_params"] = jax.tree_util.tree_map(
+                    lambda x: x, raw.get("params")
+                )
+        for k, v in list(raw.items()):
+            if k in target:
+                _reconcile_ema(v, target[k])
+    return raw
+
+
 def load_train_state(path: str, template: Any) -> Any:
-    """Restore a full train state into the structure of ``template``."""
+    """Restore a full train state into the structure of ``template``.
+
+    Tolerant of the ``ema_params`` field (added later): checkpoints
+    written before it load into current templates and vice versa — the
+    average is seeded from (or dropped with) the checkpointed params as
+    the template dictates.
+    """
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    target = serialization.to_state_dict(template)
+    raw = _reconcile_ema(raw, target)
+    return serialization.from_state_dict(template, raw)

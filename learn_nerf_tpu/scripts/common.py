@@ -336,3 +336,16 @@ def seeded_key(seed):
     import jax
 
     return jax.random.PRNGKey(seed if seed is not None else random.randint(0, 2**32 - 1))
+
+
+def to_u8_image(colors, height: int, width: int):
+    """[-1, 1] model colors -> HxWx3 uint8, clipped.
+
+    The single definition of the render CLIs' encode step: without the
+    clip, colors the model drives slightly out of range wrap around in
+    the uint8 cast (-1.01 -> 254) as bright speckles.
+    """
+    import numpy as np
+
+    arr = np.asarray(colors).reshape(height, width, 3)
+    return np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)

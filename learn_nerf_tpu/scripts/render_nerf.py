@@ -157,10 +157,9 @@ class RenderSession:
         height = height if height is not None else self.args.height
         rays = view.bare_rays(width, height)
         self.key, this_key = jax.random.split(self.key)
-        colors = np.asarray(self._render(this_key, rays))
-        image = np.clip(
-            (colors.reshape(height, width, 3) + 1) * 127.5, 0, 255
-        ).astype(np.uint8)
+        from .common import to_u8_image
+
+        image = to_u8_image(self._render(this_key, rays), height, width)
         self.images.append(image)
         return image
 

@@ -159,11 +159,9 @@ def main(argv=None):
             / args.max_depth
         )
 
-        image = np.clip(
-            (results["outputs"].reshape(args.size, args.size, 3) + 1) * 127.5,
-            0,
-            255,
-        ).astype(np.uint8)
+        from .common import to_u8_image
+
+        image = to_u8_image(results["outputs"], args.size, args.size)
         Image.fromarray(image).save(os.path.join(args.output_dir, f"{frame:05}.png"))
         depth_image = (depth.reshape(args.size, args.size) * 0xFFFF).astype(np.uint16)
         Image.fromarray(depth_image).save(

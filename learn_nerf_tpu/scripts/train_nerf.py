@@ -144,12 +144,35 @@ def main(argv=None):
         import optax
 
         # optax.adam takes a schedule in place of a float; the optimizer
-        # step count drives it, so full-state resumes continue the decay.
-        lr = optax.cosine_decay_schedule(
+        # step count drives it, so full-state resumes continue the decay
+        # natively.  A params-PICKLE auto-resume starts a fresh optimizer
+        # (count 0) — without an offset the schedule would restart at the
+        # peak lr on near-converged params, the exact excursion this flag
+        # exists to prevent — so peek the pickle's step counter and shift.
+        resume_step = 0
+        will_full_resume = args.full_state_path and os.path.exists(
+            args.full_state_path
+        )
+        if not will_full_resume and os.path.exists(args.save_path):
+            import pickle
+
+            with open(args.save_path, "rb") as f:
+                payload = pickle.load(f)
+            resume_step = int(
+                payload.get(
+                    "occupancy_host_step", payload.get("train_host_step", 0)
+                )
+            )
+        base_schedule = optax.cosine_decay_schedule(
             init_value=args.lr,
             decay_steps=args.steps,
             alpha=args.lr_final_frac,
         )
+        if resume_step:
+            print(f"cosine schedule resumes at step {resume_step}")
+            lr = lambda count: base_schedule(count + resume_step)
+        else:
+            lr = base_schedule
     else:
         lr = args.lr
     coarse, fine, train_kwargs = create_model(args, data.metadata)

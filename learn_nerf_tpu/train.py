@@ -302,8 +302,13 @@ class TrainLoop:
     @property
     def eval_params(self):
         """Params rendering/checkpoints should use: the Polyak average
-        when ``ema_decay`` is set, the raw train params otherwise."""
-        if self.state.ema_params is not None:
+        when ``ema_decay`` is set, the raw train params otherwise.
+
+        Keys on BOTH the loop config and the state: a state restored from
+        an EMA checkpoint into an EMA-off loop must not serve the stale
+        (never-again-updated) average (checkpoint migration also drops
+        it, ``checkpoint._reconcile_ema``)."""
+        if self.ema_decay is not None and self.state.ema_params is not None:
             return self.state.ema_params
         return self.state.params
 

@@ -317,3 +317,28 @@ def test_train_lr_schedule_and_ema_flags(tiny_dataset, tmp_path):
                 tiny_dataset,
             ]
         )
+
+
+def test_cosine_pickle_resume_continues_schedule(tiny_dataset, tmp_path, capsys):
+    """A params-pickle auto-resume must NOT restart the cosine schedule
+    at the peak lr: the CLI peeks the pickle's step counter and offsets
+    the schedule (a fresh optimizer's count starts at 0)."""
+    from learn_nerf_tpu.scripts import train_nerf
+
+    save_path = str(tmp_path / "resume.pkl")
+    args = [
+        "--seed", "0",
+        "--lr", "1e-3",
+        "--lr_schedule", "cosine",
+        "--batch_size", "256",
+        "--coarse_samples", "8",
+        "--fine_samples", "8",
+        "--steps", "8",
+        "--save_path", save_path,
+        tiny_dataset,
+    ]
+    train_nerf.main(args)
+    capsys.readouterr()
+    train_nerf.main(args)  # auto-resumes from save_path
+    out = capsys.readouterr().out
+    assert "cosine schedule resumes at step 8" in out

@@ -1412,6 +1412,16 @@ def test_grid_resolution_mismatch_rejected():
     assert state.densities.shape == (16**3,)
     legacy = dict(occupancy_densities=np.zeros(8**3, np.float32))
     assert grid.state_from_checkpoint(legacy).densities.shape == (8**3,)
+    # A legacy checkpoint WITHOUT the resolution key still cannot slip a
+    # mismatched grid through: the density vector's length is checked.
+    legacy_mismatch = dict(occupancy_densities=np.zeros(16**3, np.float32))
+    with pytest.raises(ValueError, match="--occ_grid 16"):
+        grid.state_from_checkpoint(legacy_mismatch)
+    # And a corrupt (non-cube) vector is rejected outright.
+    with pytest.raises(ValueError, match="corrupt"):
+        grid.state_from_checkpoint(
+            dict(occupancy_densities=np.zeros(100, np.float32))
+        )
 
 
 def test_pooled_transmittance_precision_at_scale():

@@ -435,3 +435,62 @@ def test_ema_eval_params_recurrence_and_checkpoint(tmp_path):
     off = new_loop(None)
     assert off.state.ema_params is None
     assert off.eval_params is off.state.params
+
+
+def test_full_state_ema_field_migration(tmp_path):
+    """Full-state checkpoints survive the ema_params field in BOTH
+    directions: pre-field blobs load into current templates (with or
+    without --ema: the average seeds from the checkpointed params), and
+    EMA checkpoints resumed into an EMA-off loop DROP the stale average
+    (eval must follow the raw params again)."""
+    import jax
+    from flax import serialization
+
+    import learn_nerf_tpu.checkpoint as ck
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import TrainLoop
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1)
+
+    def mk(ema):
+        return TrainLoop(
+            model, model, init_rng=jax.random.PRNGKey(0), lr=1e-2,
+            coarse_ts=4, fine_ts=4, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+            ema_decay=ema,
+        )
+
+    batch = make_batch(32)
+    src = mk(None)
+    src.step(jax.random.PRNGKey(1), batch)
+
+    # A pre-ema-era blob: today's state dict with the field stripped.
+    old = dict(serialization.to_state_dict(jax.device_get(src.state)))
+    old.pop("ema_params", None)
+    old_path = str(tmp_path / "old.msgpack")
+    ck._atomic_write(old_path, serialization.msgpack_serialize(old))
+
+    plain = mk(None)
+    plain.load_full(old_path)
+    assert plain.state.ema_params is None
+    plain.step(jax.random.PRNGKey(2), batch)
+
+    seeded = mk(0.5)
+    seeded.load_full(old_path)
+    for p, e in zip(
+        jax.tree_util.tree_leaves(seeded.state.params),
+        jax.tree_util.tree_leaves(seeded.state.ema_params),
+    ):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(e))
+    seeded.step(jax.random.PRNGKey(2), batch)
+
+    # An EMA checkpoint resumed without --ema: the average is dropped and
+    # eval_params tracks the live params, not a frozen tree.
+    on = mk(0.5)
+    on.step(jax.random.PRNGKey(1), batch)
+    on_path = str(tmp_path / "on.msgpack")
+    on.save_full(on_path)
+    off = mk(None)
+    off.load_full(on_path)
+    assert off.state.ema_params is None
+    off.step(jax.random.PRNGKey(2), batch)
+    assert off.eval_params is off.state.params
