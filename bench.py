@@ -227,8 +227,57 @@ def bench_vanilla(compute_dtype="float32"):
     )
 
 
+def _device_watchdog(seconds: float):
+    """Emit an explicit error JSON and exit if the first device op never
+    answers.
+
+    The axon TPU relay can wedge for hours (CLAUDE.md "chip-claim
+    wedge"); the claim blocks at the first device USE, inside whatever
+    op touches the chip first, with no timeout (claim_timeout_s = -1).
+    A watchdog thread turns that silent infinite hang into one
+    well-formed bench line so the run is diagnosable.  Returns a
+    cancel() to call once the probe op has answered.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.wait(seconds):
+            return
+        print(
+            json.dumps(
+                dict(
+                    metric="train_rays_per_sec_instant_ngp",
+                    value=0,
+                    unit="rays/sec/chip",
+                    vs_baseline=0,
+                    error=(
+                        f"device unreachable: first device op did not "
+                        f"answer within {seconds:.0f}s (TPU relay wedge; "
+                        f"see CLAUDE.md). No measurement taken."
+                    ),
+                )
+            ),
+            flush=True,
+        )
+        os._exit(17)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done.set
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "all")
+    # Probe the device with a trivial op under a watchdog BEFORE the real
+    # benchmarks (their first compile legitimately takes minutes; the
+    # probe answers in seconds on a healthy chip).
+    cancel = _device_watchdog(float(os.environ.get("BENCH_PROBE_TIMEOUT", 600)))
+    import jax
+
+    probe = jax.numpy.ones((8, 8))
+    float((probe @ probe).sum())
+    cancel()
     sub = {}
     if mode in ("all", "occupancy"):
         sub["instant_ngp_occupancy"] = bench_occupancy()
