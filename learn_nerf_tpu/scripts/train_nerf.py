@@ -91,10 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--steps_per_dispatch",
         type=int,
         default=1,
-        help="occupancy hot loop only: run this many training steps (and "
-        "their grid-refresh cadence) per device dispatch via lax.scan — "
+        help="run this many training steps (occupancy: plus their "
+        "grid-refresh cadence) per device dispatch via lax.scan — "
         "amortizes the per-dispatch relay round trip on remote TPU "
-        "runtimes; identical numerics to per-step dispatch",
+        "runtimes; identical numerics to per-step dispatch (incompatible "
+        "with --test_data_dir)",
     )
     # Multi-host data parallelism (jax.distributed; each process loads its
     # own view subset — see data.shuffle and parallel.mesh).
@@ -235,11 +236,10 @@ def main(argv=None):
         )
 
     k = args.steps_per_dispatch
-    if k > 1 and (args.test_data_dir is not None or not args.occupancy):
+    if k > 1 and args.test_data_dir is not None:
         raise SystemExit(
-            "--steps_per_dispatch > 1 requires --occupancy and no "
-            "--test_data_dir (the per-step test-loss path keeps per-step "
-            "dispatch)"
+            "--steps_per_dispatch > 1 is incompatible with --test_data_dir "
+            "(the per-step test-loss path keeps per-step dispatch)"
         )
     logger = MetricLogger(rays_per_step=args.batch_size * k)
     profile_ctx = None

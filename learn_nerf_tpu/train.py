@@ -250,6 +250,24 @@ class TrainLoop:
             return step_body(state, jax.random.fold_in(base_key, state.step), batch)
 
         self._auto_step_fn = step_auto
+
+        @partial(jax.jit, donate_argnums=0)
+        def step_auto_scan(state, base_key, batches):
+            # K steps as ONE device program (same rationale as
+            # OccupancyTrainLoop.step_auto_many: every dispatch is a relay
+            # round trip on remote TPU runtimes).  Keys fold state.step
+            # exactly like step_auto, so K scanned steps are bit-identical
+            # to K step_auto calls.
+            def body(state, batch):
+                key = jax.random.fold_in(base_key, state.step)
+                return step_body(state, key, batch)
+
+            state, values = jax.lax.scan(body, state, batches)
+            # Last step's metrics, sliced in-jit (stacked [k] metrics
+            # would cost one tiny device fetch per metric on the host).
+            return state, jax.tree_util.tree_map(lambda v: v[-1], values)
+
+        self._scan_step_fn = step_auto_scan
         return step
 
     def shard_batch(self, batch) -> jax.Array:
@@ -279,6 +297,31 @@ class TrainLoop:
         is a pure function of the checkpointed step counter."""
         self.state, values = self._auto_step_fn(
             self.state, base_key, self.shard_batch(batch)
+        )
+        return values
+
+    def shard_batches(self, batches) -> jax.Array:
+        """Place a ``[k, N, 3, 3]`` multi-step batch onto the mesh (rays
+        sharded over axis 1, scan axis replicated)."""
+        if isinstance(batches, jax.Array):
+            return batches
+        from .parallel.mesh import macro_batch_sharding
+
+        sharding = macro_batch_sharding(self.mesh)
+        local = np.asarray(batches)
+        if jax.process_count() == 1:
+            return jax.device_put(local, sharding)
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    def step_auto_many(self, base_key: jax.Array, batches) -> Dict[str, Array]:
+        """K hot-loop steps in ONE device dispatch (``lax.scan`` in-jit);
+        bit-identical to K :meth:`step_auto` calls.  Returns the LAST
+        step's logging dict.
+
+        :param batches: ``[k, N, 3, 3]`` stacked ray batches.
+        """
+        self.state, values = self._scan_step_fn(
+            self.state, base_key, self.shard_batches(batches)
         )
         return values
 
@@ -827,18 +870,7 @@ class OccupancyTrainLoop:
             ),
         )
 
-    def shard_batches(self, batches) -> jax.Array:
-        """Place a ``[k, N, 3, 3]`` multi-step batch onto the mesh (rays
-        sharded over axis 1, scan axis replicated)."""
-        if isinstance(batches, jax.Array):
-            return batches
-        from .parallel.mesh import macro_batch_sharding
-
-        sharding = macro_batch_sharding(self.mesh)
-        local = np.asarray(batches)
-        if jax.process_count() == 1:
-            return jax.device_put(local, sharding)
-        return jax.make_array_from_process_local_data(sharding, local)
+    shard_batches = TrainLoop.shard_batches
 
     def step_auto_many(self, base_key: jax.Array, batches) -> Dict[str, Array]:
         """K hot-loop steps (plus their grid-refresh cadence) in ONE

@@ -342,3 +342,30 @@ def test_cosine_pickle_resume_continues_schedule(tiny_dataset, tmp_path, capsys)
     train_nerf.main(args)  # auto-resumes from save_path
     out = capsys.readouterr().out
     assert "cosine schedule resumes at step 8" in out
+
+
+def test_steps_per_dispatch_hierarchy(tiny_dataset, tmp_path):
+    """--steps_per_dispatch works for the dense hierarchy too (it was
+    occupancy-only at first); a partial final macro still stops at
+    --steps exactly."""
+    import pickle
+
+    from learn_nerf_tpu.scripts import train_nerf
+
+    save_path = str(tmp_path / "scan.pkl")
+    train_nerf.main(
+        [
+            "--seed", "0",
+            "--lr", "1e-3",
+            "--batch_size", "256",
+            "--coarse_samples", "8",
+            "--fine_samples", "8",
+            "--steps", "5",
+            "--steps_per_dispatch", "3",
+            "--save_path", save_path,
+            tiny_dataset,
+        ]
+    )
+    with open(save_path, "rb") as f:
+        payload = pickle.load(f)
+    assert int(payload["train_host_step"]) == 5

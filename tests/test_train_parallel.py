@@ -494,3 +494,61 @@ def test_full_state_ema_field_migration(tmp_path):
     assert off.state.ema_params is None
     off.step(jax.random.PRNGKey(2), batch)
     assert off.eval_params is off.state.params
+
+
+def test_hierarchy_step_auto_many_matches_per_step():
+    """K scanned steps in one dispatch (TrainLoop.step_auto_many) produce
+    the same params and metrics as K step_auto dispatches — the vanilla
+    (non-occupancy) counterpart of the occupancy scan test, so
+    --steps_per_dispatch is dispatch amortization only, never a numerics
+    change."""
+    import jax
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import TrainLoop
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1)
+
+    def make_loop():
+        return TrainLoop(
+            model,
+            model,
+            init_rng=jax.random.PRNGKey(0),
+            lr=1e-2,
+            coarse_ts=4,
+            fine_ts=4,
+            bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1),
+            ema_decay=0.9,  # the EMA tree must thread through the scan too
+        )
+
+    steps = 6
+    batches = np.stack([make_batch(32, seed=s) for s in range(steps)])
+    base_key = jax.random.PRNGKey(5)
+
+    a = make_loop()
+    last = None
+    for s in range(steps):
+        last = a.step_auto(base_key, batches[s])
+
+    b = make_loop()
+    vals = None
+    for chunk in (batches[:3], batches[3:]):
+        vals = b.step_auto_many(base_key, chunk)
+
+    assert int(a.state.step) == int(b.state.step) == steps
+    for tree_a, tree_b in (
+        (a.state.params, b.state.params),
+        (a.state.ema_params, b.state.ema_params),
+    ):
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7
+            ),
+            jax.device_get(tree_a),
+            jax.device_get(tree_b),
+        )
+    for k in last:
+        np.testing.assert_allclose(
+            float(last[k]), float(vals[k]), rtol=1e-5, atol=1e-7
+        )
