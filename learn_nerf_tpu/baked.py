@@ -75,6 +75,10 @@ class BakedInstantNGP(FieldModel):
     density_dim: int = 16
     color_layers: int = 2
     pack: int = 1
+    #: Mirrored from the source model so a --bf16 checkpoint's color head
+    #: keeps running in the SAME arithmetic after baking — otherwise the
+    #: baked-vs-live delta conflates dtype rounding with bake error.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: Array, d: Array) -> FieldOutput:
@@ -107,10 +111,11 @@ class BakedInstantNGP(FieldModel):
 
         density = jnp.exp(out[..., 0:1])
         d_emb = sinusoidal_features(d, self.d_freqs)
-        h = jnp.concatenate([d_emb, out], axis=-1)
+        cdtype = jnp.dtype(self.compute_dtype)
+        h = jnp.concatenate([d_emb, out], axis=-1).astype(cdtype)
         for _ in range(self.color_layers):
-            h = nn.relu(nn.Dense(self.hidden_dim)(h))
-        color = nn.tanh(nn.Dense(3)(h))
+            h = nn.relu(nn.Dense(self.hidden_dim, dtype=cdtype)(h))
+        color = nn.tanh(nn.Dense(3, dtype=cdtype)(h).astype(jnp.float32))
         return density, color, {}
 
 
@@ -235,6 +240,7 @@ def bake_instant_ngp(
         density_dim=model.density_dim,
         color_layers=model.color_layers,
         pack=pack,
+        compute_dtype=model.compute_dtype,
     )
     if verbose:
         gb = grid.size * grid.dtype.itemsize / 1e9

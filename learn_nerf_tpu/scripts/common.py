@@ -268,6 +268,7 @@ def apply_baking(args, fine, params):
                 density_dim=fine.density_dim,
                 color_layers=fine.color_layers,
                 pack=pack,
+                compute_dtype=fine.compute_dtype,
             )
             print(f"loaded baked grid cache: {cache_path}", flush=True)
             return baked, baked_params
