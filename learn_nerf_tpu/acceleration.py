@@ -9,10 +9,14 @@ NerfAcc, arXiv:2305.04966) in a fully static-shape formulation:
 * a binary occupancy grid over the scene bbox, maintained as an EMA of
   sampled model densities (updated every few steps outside the hot loop),
 * per ray: generate cheap stratified *candidate* ts, test each candidate's
-  cell occupancy (one small gather per candidate), then **compact the first
-  K occupied candidates per ray** with a ``top_k`` — a fixed-size tensor of
-  surviving samples, so the expensive field model runs on ``[N, K]`` points
-  instead of ``[N, 192]``.
+  cell occupancy (one small gather per candidate), then **compact K
+  strided samples over the occupied span** (searchsorted-on-cumsum +
+  gather, :func:`compact_occupied_strided`) — a fixed-size tensor of
+  surviving samples, so the expensive field model runs on ``[N, K]``
+  points instead of ``[N, 192]``.  (The earlier first-K variant,
+  :func:`compact_occupied_samples`, is kept for experiments only — fog
+  in front of a surface soaks up all K first-K samples; see
+  docs/DESIGN.md section 3.)
 
 Everything is jit-friendly: no dynamic shapes, no host round-trips.
 """
@@ -290,6 +294,11 @@ def compact_occupied_samples(
     count: int,
 ) -> Tuple[Array, Array]:
     """Keep the first ``count`` occupied candidates per ray, in t order.
+
+    EXPERIMENT-ONLY: no production caller — the renderer routes through
+    :func:`compact_occupied_strided` (first-K starves surfaces behind
+    fog, docs/DESIGN.md section 3).  Kept for tools/exp_occ_profile.py
+    and as the numpy-pinned reference of the first-K semantics.
 
     :param ts: ``[N, C]`` sorted candidate positions.
     :param occupied: ``[N, C]`` bool.

@@ -220,18 +220,24 @@ class OccupancyRenderer:
         ts = t_min[:, None] + (t_max - t_min)[:, None] * i[None, :]  # [N, Cc]
         pts = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
 
-        bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
-        bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
-        frac = jnp.clip((pts - bbox_min) / (bbox_max - bbox_min), 0.0, 1.0 - 1e-7)
-        cell = (frac * rs).astype(jnp.int32)
-        idx = cell[..., 0] + rs * (cell[..., 1] + rs * cell[..., 2])
+        # The supergrid is indexed by THE flat-index convention
+        # (OccupancyGrid.cell_indices) at the pooled resolution — one
+        # definition, so the probe can never desynchronize from
+        # superpool_densities' layout.
+        import dataclasses
+
+        supergrid = dataclasses.replace(self.grid, resolution=rs)
+        idx = supergrid.cell_indices(pts)
         occ = self.grid.occupied_from_densities(grid_state, sup[idx])  # [N, Cc]
 
         hit = jnp.any(occ, axis=1)
         first = jnp.argmax(occ, axis=1)  # first occupied bin
         last = n_coarse - 1 - jnp.argmax(occ[:, ::-1], axis=1)
         w = (t_max - t_min) / n_coarse
-        pad = (3.0**0.5) * jnp.max(bbox_max - bbox_min) / rs
+        bbox_span = jnp.asarray(self.bbox_max, jnp.float32) - jnp.asarray(
+            self.bbox_min, jnp.float32
+        )
+        pad = (3.0**0.5) * jnp.max(bbox_span) / rs
         t_lo = t_min + first.astype(jnp.float32) * w - pad
         t_hi = t_min + (last.astype(jnp.float32) + 1.0) * w + pad
         t_lo = jnp.maximum(t_lo, t_min)
@@ -436,7 +442,11 @@ def resolve_auto_budget(
     """
     from .acceleration import quantize_budget
 
-    stride = max(1, rays.shape[0] // sample_rays)
+    # Ceil-stride: floor division would make the subset a raster-order
+    # PREFIX of the frame (top rows only) whenever m is not an exact
+    # multiple — geometry concentrated in the bottom rows would then be
+    # invisible to the demand measurement and undersize the budget.
+    stride = max(1, -(-rays.shape[0] // sample_rays))
     subset = rays[::stride][:sample_rays]
     if demand_fn is None:
         demand_fn = make_demand_fn(renderer, transmittance_eps)
@@ -500,6 +510,7 @@ class OccupancyFrameSession:
         # re-pay the drop -> escalate -> re-render cycle on every frame
         # of a multi-view run (eval_psnr, orbits).
         self._escalated_floor = 0
+        self._announced_budget = None
         self._demand_fn = (
             make_demand_fn(renderer, transmittance_eps)
             if budget_cfg == "auto"
@@ -534,8 +545,15 @@ class OccupancyFrameSession:
                 rays,
                 transmittance_eps=self._eps,
                 demand_fn=self._demand_fn,
+                quiet=True,
             )
             budget = max(budget, self._escalated_floor)
+            if budget != self._announced_budget:
+                # Announce on CHANGE only: a 200-view orbit would
+                # otherwise print one identical line per frame and drown
+                # the log lines that matter (escalations, drop warnings).
+                print(f"auto render budget: {budget} samples/ray", flush=True)
+                self._announced_budget = budget
         while True:
             if budget not in self._frame_cache:
                 self._frame_cache[budget] = self._make_frame(budget)
@@ -645,7 +663,10 @@ def render_frame_occupancy(
                 transmittance_eps=transmittance_eps,
             )
         else:
-            out, _ = renderer.render_rays(k, r, params, background, grid_state)
+            out, _ = renderer.render_rays(
+                k, r, params, background, grid_state,
+                transmittance_eps=transmittance_eps,
+            )
         res = dict(outputs=out["outputs"])
         if budget_per_ray is not None:
             res.update(selected=out["selected"], dropped=out["dropped"])

@@ -114,7 +114,9 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         default=0.0,
         help="inference only: drop samples once the occupancy grid's "
         "approximate transmittance falls below this (early ray "
-        "termination; requires --occ_budget_per_ray)",
+        "termination; applies to both the pooled and fixed-K frame "
+        "paths — pooling turns the dropped samples into actual compute "
+        "savings, fixed-K into looser sample spacing)",
     )
     parser.add_argument(
         "--occ_span_candidates",

@@ -1466,3 +1466,56 @@ def test_pooled_transmittance_precision_at_scale():
         np.asarray(pooled["outputs"]), np.asarray(ref_out["outputs"]),
         rtol=0, atol=2e-6,
     )
+
+
+def test_fixed_k_frame_honors_transmittance_eps():
+    """The fixed-K (non-pooled) frame path must forward transmittance_eps
+    to render_rays — an --occ_t_eps render without a pool budget was
+    silently ignoring early termination (review round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer, render_frame_occupancy
+
+    model, params = _small_model_and_params()
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=8)
+    # A grid dense enough that an aggressive eps prunes behind the front:
+    # every cell 'occupied' at density 5 -> approx transmittance collapses
+    # within a few candidates.
+    grid_state = grid.init().replace(
+        densities=jnp.full((8**3,), 5.0, jnp.float32),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+    renderer = OccupancyRenderer(
+        model=model, grid=grid,
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=32, samples=8,
+    )
+    rays = jnp.asarray(_random_rays(64, seed=3))
+    bg = jnp.zeros(3)
+    key = jax.random.PRNGKey(0)
+
+    plain = render_frame_occupancy(
+        renderer, key, rays, params, bg, grid_state,
+        tile_size=32, include_depth_outputs=True,
+    )
+    pruned = render_frame_occupancy(
+        renderer, key, rays, params, bg, grid_state,
+        tile_size=32, transmittance_eps=0.5, include_depth_outputs=True,
+    )
+    # Same key + same candidates: outputs must DIFFER once the aggressive
+    # eps prunes trailing candidates (before the fix the kwarg was dropped
+    # and the two frames were identical).
+    assert not np.allclose(
+        np.asarray(plain["outputs"]), np.asarray(pruned["outputs"])
+    )
+    # And the eps frame parallels the per-ray call with the same eps.
+    direct, _ = renderer.render_rays(
+        jax.random.fold_in(key, 0), rays[:32], params, bg, grid_state,
+        transmittance_eps=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pruned["outputs"][:32]), np.asarray(direct["outputs"]),
+        rtol=1e-5, atol=1e-6,
+    )
