@@ -2,12 +2,20 @@
 JAX device (the reference publishes no numbers — BASELINE.md requires
 measuring it ourselves).
 
-Usage:  python tools/measure_reference.py [--instant_ngp] [--batch 4096]
+Device-bound methodology (symmetric with bench.py's treatment of our
+loops): the batch is device-resident, all PRNG keys are split BEFORE the
+timed window (a host-side split per step costs a relay round trip on this
+runtime — CLAUDE.md), and the window is fenced by a host float() fetch of
+a trained param leaf (``jax.block_until_ready`` can return early on this
+backend, inflating rates ~1000x — CLAUDE.md).
+
+Usage:  python tools/measure_reference.py [--instant_ngp] [--ref_nerf]
 """
 
 import argparse
 import sys
 import time
+from types import SimpleNamespace
 
 sys.path.insert(0, "/root/reference")
 
@@ -27,46 +35,22 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # The reference's own model factory (no duplicated model zoo: the
+    # measured baseline is exactly what tools/train_reference.py trains).
+    from learn_nerf.scripts.train_nerf import create_model
     from learn_nerf.train import TrainLoop
-    from learn_nerf.model import NeRFModel
-    from learn_nerf.instant_ngp import InstantNGPModel
 
     print("device:", jax.devices()[0])
     bbox_min = jnp.array([-1.0, -1.0, -1.0])
     bbox_max = jnp.array([1.0, 1.0, 1.0])
-
+    metadata = SimpleNamespace(
+        bbox_min=[-1.0, -1.0, -1.0], bbox_max=[1.0, 1.0, 1.0]
+    )
     if args.instant_ngp:
-        from functools import partial
-
-        if args.ref_nerf:
-            from learn_nerf.instant_ngp import InstantNGPRefNERFModel
-
-            model_cls = partial(InstantNGPRefNERFModel, sh_degree=4)
-            tag = "instant_ngp_ref_nerf"
-        else:
-            model_cls = InstantNGPModel
-            tag = "instant_ngp"
-        coarse = model_cls(
-            table_sizes=[2**18] * 6,
-            grid_sizes=[2 ** (4 + i // 2) for i in range(6)],
-            bbox_min=bbox_min,
-            bbox_max=bbox_max,
-        )
-        fine = model_cls(
-            table_sizes=[2**18] * 16,
-            grid_sizes=[2 ** (4 + i // 2) for i in range(16)],
-            bbox_min=bbox_min,
-            bbox_max=bbox_max,
-        )
-        kwargs = dict(adam_eps=1e-15, adam_b1=0.9, adam_b2=0.99)
-    elif args.ref_nerf:
-        from learn_nerf.ref_nerf import RefNERFModel
-
-        coarse = RefNERFModel(sh_degree=4)
-        fine = RefNERFModel(sh_degree=4)
-        kwargs, tag = dict(), "ref_nerf"
+        tag = "instant_ngp_ref_nerf" if args.ref_nerf else "instant_ngp"
     else:
-        coarse, fine, kwargs, tag = NeRFModel(), NeRFModel(), dict(), "vanilla"
+        tag = "ref_nerf" if args.ref_nerf else "vanilla"
+    coarse, fine, kwargs = create_model(args, metadata)
 
     loop = TrainLoop(
         coarse,
@@ -86,19 +70,24 @@ def main():
     colors = rng.rand(args.batch, 3).astype(np.float32) * 2 - 1
     batch = jnp.asarray(np.stack([origins, dirs, colors], axis=1))
 
-    key = jax.random.PRNGKey(1)
+    def fence():
+        # Host fetch of a value that depends on the completed step chain.
+        leaf = jax.tree_util.tree_leaves(loop.state.params)[0]
+        return float(jnp.asarray(leaf).ravel()[0])
+
+    all_keys = jax.random.split(
+        jax.random.PRNGKey(1), args.warmup + args.steps
+    )
     t0 = time.time()
     for i in range(args.warmup):
-        key, sk = jax.random.split(key)
-        vals = step_fn(sk, batch)
-    jax.block_until_ready(loop.state.params)
+        step_fn(all_keys[i], batch)
+    fence()
     print(f"warmup ({args.warmup} steps incl. compile): {time.time()-t0:.1f}s")
 
     t0 = time.time()
     for i in range(args.steps):
-        key, sk = jax.random.split(key)
-        vals = step_fn(sk, batch)
-    jax.block_until_ready(loop.state.params)
+        step_fn(all_keys[args.warmup + i], batch)
+    fence()
     dt = time.time() - t0
     rays_per_sec = args.batch * args.steps / dt
     print(

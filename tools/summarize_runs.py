@@ -69,8 +69,12 @@ def baked_frames(d):
                     rows.append(
                         (name, m.group(1), float(m.group(2)), m.group(3))
                     )
-                p = re.match(r"(\S+): PSNR vs live ([\d.]+) dB", ln)
-                if p and rows:
+                p = re.match(r"(\S+): PSNR vs live ([\d.]+|inf) dB", ln)
+                if p and rows and rows[-1][1] == p.group(1) and len(rows[-1]) == 4:
+                    # Tag must match the pending timing row: attaching by
+                    # position alone can glue a PSNR onto the previous
+                    # resolution (or the previous log) whenever a timing
+                    # line fails the regex.
                     rows[-1] = rows[-1] + (float(p.group(2)),)
     if rows:
         print()
@@ -98,7 +102,8 @@ def main():
         ("reference Ref-NeRF (dense 64c+192f)", "ref_refnerf", "eval_ref_refnerf"),
         ("ours Ref-NeRF + occupancy", "ours_refnerf_1500", "eval_ours_refnerf_1500"),
         ("ours NGP x Ref-NeRF + occupancy", "ours_ngpref", "eval_ours_ngpref"),
-        ("reference NGP x Ref-NeRF (dense)", "ref_ngpref", "eval_ref_ngpref"),
+        # (the reference NGPxRef baseline is device-bound only —
+        # measure_ref_ngpref.log, surfaced by device_bound_rows below)
     ]
     print("| config | rays/sec (end-to-end) | final fine MSE | test PSNR |")
     print("|---|---|---|---|")
@@ -109,7 +114,29 @@ def main():
             f"| {label} | {fmt(rate)} | {fmt(fine, '.5f')} | "
             f"{fmt(psnr, '.2f')} |"
         )
+    device_bound_rows(d)
     baked_frames(d)
+
+
+def device_bound_rows(d):
+    """Device-bound reference baselines from the measure_reference logs
+    (single 'reference <tag>: ... rays/sec=N' line per run — the
+    train_stats regexes cannot parse these)."""
+    import glob
+
+    rows = []
+    for path in sorted(glob.glob(f"{d}/measure_ref*.log")):
+        with open(path) as f:
+            for ln in f:
+                m = re.match(r"reference (\S+): .*rays/sec=([\d.]+)", ln)
+                if m:
+                    rows.append((m.group(1), float(m.group(2))))
+    if rows:
+        print()
+        print("| reference config (device-bound) | rays/sec |")
+        print("|---|---|")
+        for tag, rate in rows:
+            print(f"| {tag} | {rate:,.0f} |")
 
 
 if __name__ == "__main__":

@@ -42,9 +42,9 @@ def main():
     print("loading dataset...", flush=True)
     data = load_dataset(args.data_dir)
 
-    # create_model reads these attributes off the args namespace.
-    args.density_penalty = None
-    args.density_penalty_batch_size = 128
+    # create_model reads only args.instant_ngp / args.ref_nerf; the
+    # reference CLI's density penalty (off by default) stays off here too
+    # (TrainLoop's own defaults).
     coarse, fine, train_kwargs = create_model(args, data.metadata)
     loop = TrainLoop(
         coarse,
@@ -70,13 +70,26 @@ def main():
         key, step_key = jax.random.split(key)
         losses = step_fn(step_key, batch)
         if i % args.log_interval == 0:
-            msg = " ".join(f"{k}={float(v):.05}" for k, v in losses.items())
+            # Fence with ONE loss fetch, take the timestamp, and only then
+            # format the remaining metrics (each float() is a relay round
+            # trip; ~6 of them before the timestamp would land inside the
+            # measured interval and deflate the reported rate).
+            float(losses.get("fine", next(iter(losses.values()))))
             now = time.monotonic()
+            msg = " ".join(f"{k}={float(v):.05}" for k, v in losses.items())
             if last_t is not None:
                 rate = (i - last_i) * args.batch_size / (now - last_t)
                 msg += f" rays_per_sec={rate:.05}"
-            last_t, last_i = now, i
             print(f"step {i}: {msg}", flush=True)
+            # Start the next interval AFTER the metric formatting so its
+            # fetch cost stays out of both windows.
+            last_t, last_i = time.monotonic(), i
+        if i and i % 500 == 0:
+            # Periodic save: the multi-hour reference runs sit under queue
+            # timeouts and a wedge-prone relay — losing the whole run (and
+            # the downstream eval) to a kill at step N-1 wastes the chip
+            # budget.  The reference CLI itself saves every save_interval.
+            loop.save(args.save_path)
         if i + 1 >= args.steps:
             break
     loop.save(args.save_path)
