@@ -46,6 +46,15 @@ def _cache_signature(
     parameters enter too (shard rows bake ray origins/directions from
     them): pose refinement that rewrites only the ``*.json`` files must
     also invalidate, or training streams stale ray geometry.
+
+    The SEED is deliberately NOT part of the signature: the scatter
+    stage (ray->shard assignment) stays pinned to whichever seed built
+    the cache, and only the within-shard/shard-order permutations follow
+    the run's seed.  This is the documented workflow tradeoff (CLAUDE.md:
+    pre-create the cache once — 92 s for 16M rays — and let every later
+    run reuse it); the cost is that two seeded runs only replay the same
+    batch stream when their cache state matches.  Delete ``shuffled/``
+    for a fully seed-determined stream.
     """
     h = hashlib.md5()
     h.update(f"v4:{num_shards}:{process_count}:{len(views)}".encode())
@@ -75,7 +84,10 @@ class ShuffledDataset:
         process_id: Optional[int] = None,
         process_count: Optional[int] = None,
     ):
-        if process_id is None:
+        if process_id is None or process_count is None:
+            # Both or neither: a caller passing only process_id would
+            # otherwise crash on max(None, 1) below, and mixing an
+            # explicit id with an auto-detected count is never right.
             try:
                 import jax
 
@@ -110,8 +122,18 @@ class ShuffledDataset:
                 self._create_shards(
                     dataset.views[process_id::process_count]
                 )
+            # Flush + fsync every shard BEFORE the done marker: the fds
+            # stay open for the whole run, and a killed process (wedged
+            # chip, manual kill mid-compile — routine in this workflow)
+            # between the marker write and the first epoch would leave a
+            # signature-valid marker over truncated shard tails.
+            for fd in self.fds:
+                fd.flush()
+                os.fsync(fd.fileno())
             with open(done_path, "w") as f:
                 f.write(signature + "\n")
+                f.flush()
+                os.fsync(f.fileno())
 
     @staticmethod
     def _cache_valid(
@@ -127,9 +149,20 @@ class ShuffledDataset:
         with open(done_path) as f:
             content = f.read().strip()
         if content == "done":
-            # Pre-signature cache (or one written by the reference):
-            # accept it — rebuilding under a remote-TPU runtime costs
-            # ~80x — but say so, since it cannot be validated.
+            # Pre-signature cache (or one written by the reference).
+            # Accept it ONLY if the shard-file count matches exactly:
+            # a legacy cache built with MORE shards than this run would
+            # pass the existence check above and silently serve a
+            # fraction of the dataset forever.
+            host_dir = os.path.dirname(done_path)
+            extra = os.path.join(host_dir, str(len(paths)))
+            if os.path.exists(extra):
+                print(
+                    f"note: legacy shuffle cache {host_dir} has more "
+                    f"shards than num_shards={len(paths)}; rebuilding",
+                    flush=True,
+                )
+                return False
             print(
                 f"note: shuffle cache {done_path} predates content "
                 "signatures; delete the directory to force a rebuild "
@@ -192,4 +225,7 @@ class ShuffledDataset:
         f = self.fds[shard]
         f.seek(0)
         data = f.read()
-        return np.frombuffer(data, dtype=np.float32).reshape(-1, *ROW_SHAPE).copy()
+        # No .copy(): the only caller fancy-indexes the result, which
+        # allocates a fresh array anyway; copying here just raises peak
+        # transient memory to ~3x shard size.
+        return np.frombuffer(data, dtype=np.float32).reshape(-1, *ROW_SHAPE)

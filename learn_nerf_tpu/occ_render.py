@@ -616,28 +616,12 @@ def render_frame_occupancy(
         counters summed over tiles (no silent caps: a nonzero ``dropped``
         means the budget was undersized for this frame).
     """
-    n_dev = 1
-    if mesh is not None:
-        from .parallel.mesh import DATA_AXIS
+    from .render import pad_rays_to_tiles
 
-        n_dev = mesh.shape[DATA_AXIS]
     m = rays.shape[0]
-    per_chunk = n_dev * tile_size
-    num_tiles = -(-m // per_chunk) * n_dev
-    padded = num_tiles * tile_size
-    if padded > m:
-        # Pad with rays that provably MISS the bbox (origin beyond the max
-        # corner, direction pointing further away).  Zero-padding would
-        # pass the slab test (origin 0, direction 0 -> t_exit ~ 1/eps),
-        # soak up pooled slots at the scene center, and inflate the
-        # selected/dropped counters — spurious overflow escalations.
-        far_corner = jnp.asarray(renderer.bbox_max, jnp.float32) + 1.0
-        pad_ray = jnp.stack([far_corner, jnp.ones(3, jnp.float32)])
-        rays_p = jnp.concatenate(
-            [rays, jnp.broadcast_to(pad_ray, (padded - m, 2, 3))], axis=0
-        )
-    else:
-        rays_p = rays
+    rays_p, num_tiles = pad_rays_to_tiles(
+        rays, tile_size, mesh, renderer.bbox_max
+    )
     pooled = budget_per_ray is not None
     if pooled:
         # Interleave rays across tiles (tile g takes rays g, g+G, g+2G, ...)
@@ -698,7 +682,7 @@ def render_frame_occupancy(
     def deinterleave(v):
         if pooled:  # undo the tile interleave: [G, S, ...] -> raster order
             v = v.transpose(1, 0, *range(2, v.ndim))
-        return v.reshape((padded,) + v.shape[2:])[:m]
+        return v.reshape((rays_p.shape[0],) + v.shape[2:])[:m]
 
     out = {}
     for k, v in tiled.items():

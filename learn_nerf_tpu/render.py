@@ -153,6 +153,37 @@ class Renderer:
         )
 
 
+def pad_rays_to_tiles(rays, tile_size: int, mesh, bbox_max):
+    """Pad ``[M, 2, 3]`` rays up to a whole number of tiles (a multiple
+    of the mesh's data-axis size when sharded).
+
+    THE tile/pad layout for every whole-frame renderer (this module and
+    ``occ_render`` share it — duplicated copies drifted once).  Pad rays
+    provably MISS the bbox (origin beyond the max corner, direction
+    pointing further away): zero rays pass the slab test at the scene
+    center, which is harmless where outputs get sliced off but poisons
+    pooled-slot accounting and drop counters.
+
+    :return: ``(rays_padded [num_tiles * tile_size, 2, 3], num_tiles)``.
+    """
+    n_dev = 1
+    if mesh is not None:
+        from .parallel.mesh import DATA_AXIS
+
+        n_dev = mesh.shape[DATA_AXIS]
+    m = rays.shape[0]
+    per_chunk = n_dev * tile_size
+    num_tiles = -(-m // per_chunk) * n_dev
+    padded = num_tiles * tile_size
+    if padded > m:
+        far_corner = jnp.asarray(bbox_max, jnp.float32) + 1.0
+        pad_ray = jnp.stack([far_corner, jnp.ones(3, jnp.float32)])
+        rays = jnp.concatenate(
+            [rays, jnp.broadcast_to(pad_ray, (padded - m, 2, 3))], axis=0
+        )
+    return rays, num_tiles
+
+
 def render_frame(
     renderer: Renderer,
     key: jax.Array,
@@ -180,16 +211,10 @@ def render_frame(
     :return: dict with ``outputs`` ``[M, 3]`` (and optionally ``alphas``
              ``[M, 1]``, ``coords`` ``[M, 3]``).
     """
-    n_dev = 1
-    if mesh is not None:
-        from .parallel.mesh import DATA_AXIS
-
-        n_dev = mesh.shape[DATA_AXIS]
     m = rays.shape[0]
-    per_chunk = n_dev * tile_size
-    num_tiles = -(-m // per_chunk) * n_dev
-    padded = num_tiles * tile_size
-    rays_p = jnp.pad(rays, ((0, padded - m), (0, 0), (0, 0)))
+    rays_p, num_tiles = pad_rays_to_tiles(
+        rays, tile_size, mesh, renderer.bbox_max
+    )
     rays_t = rays_p.reshape(num_tiles, tile_size, 2, 3)
     keys = jax.random.split(key, num_tiles)
 
@@ -219,7 +244,10 @@ def render_frame(
             out_specs=P(DATA_AXIS),
         )
         tiled = fn(keys, rays_t, coarse_params, fine_params, background)
-    return {k: v.reshape((padded,) + v.shape[2:])[:m] for k, v in tiled.items()}
+    return {
+        k: v.reshape((rays_p.shape[0],) + v.shape[2:])[:m]
+        for k, v in tiled.items()
+    }
 
 
 def render_frame_sharded(

@@ -303,3 +303,30 @@ def test_shuffle_cache_invalidates_on_pose_change():
     sig_a = _cache_signature([view((0.0, 0.0, -3.0))], 4, 1)
     assert sig_a == _cache_signature([view((0.0, 0.0, -3.0))], 4, 1)
     assert sig_a != _cache_signature([view((0.0, 0.1, -3.0))], 4, 1)
+
+
+def test_legacy_cache_with_more_shards_rebuilds(tmp_path):
+    """A pre-signature 'done' marker is accepted only when the shard-file
+    count matches exactly: a legacy cache built with MORE shards would
+    otherwise silently serve a fraction of the dataset forever."""
+    import os
+
+    from learn_nerf_tpu.data.shuffle import ShuffledDataset
+
+    d = str(tmp_path)
+    # Fabricate a legacy cache: 4 shard files + bare 'done', but the new
+    # run wants num_shards=2 -> shard file "2" exists -> must rebuild.
+    for i in range(4):
+        with open(os.path.join(d, str(i)), "wb"):
+            pass
+    with open(os.path.join(d, "done"), "w") as f:
+        f.write("done")
+    assert not ShuffledDataset._cache_valid(
+        os.path.join(d, "done"), "sig", [os.path.join(d, str(i)) for i in range(2)]
+    )
+    # Exact count: accepted (with the can't-validate note).
+    os.remove(os.path.join(d, "2"))
+    os.remove(os.path.join(d, "3"))
+    assert ShuffledDataset._cache_valid(
+        os.path.join(d, "done"), "sig", [os.path.join(d, str(i)) for i in range(2)]
+    )
