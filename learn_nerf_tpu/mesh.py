@@ -50,41 +50,91 @@ def marching_tetrahedra(
     """
     nx, ny, nz = volume.shape
     cx, cy, cz = nx - 1, ny - 1, nz - 1
-    # Cell base coordinates, flattened: [C, 3].
-    base = np.stack(
-        np.meshgrid(
-            np.arange(cx), np.arange(cy), np.arange(cz), indexing="ij"
-        ),
-        axis=-1,
-    ).reshape(-1, 3)
-
-    # Field values at the 8 corners of every cell: [C, 8].
-    corner_coords = base[:, None, :] + _CORNERS[None, :, :]
-    vals = volume[
-        corner_coords[..., 0], corner_coords[..., 1], corner_coords[..., 2]
-    ]
 
     verts_list = []
     faces_list = []
     n_verts = 0
-    inside_all = vals > level  # [C, 8]
 
+    # Z-slab chunking + crossing-cell pre-filter: materializing [C, 8, 3]
+    # corner tensors for ALL cells at once costs ~3.3 GB host RAM at
+    # resolution 256 (17M cells), while only the tiny fraction of cells
+    # the surface crosses contributes triangles.
+    slab = max(1, (2**22) // max(cy * cz, 1))
+    for x0 in range(0, cx, slab):
+        x1 = min(cx, x0 + slab)
+        base = np.stack(
+            np.meshgrid(
+                np.arange(x0, x1), np.arange(cy), np.arange(cz), indexing="ij"
+            ),
+            axis=-1,
+        ).reshape(-1, 3)
+
+        # Field values at the 8 corners of every slab cell: [C, 8].
+        corner_coords = base[:, None, :] + _CORNERS[None, :, :]
+        vals = volume[
+            corner_coords[..., 0], corner_coords[..., 1], corner_coords[..., 2]
+        ]
+        inside_all = vals > level  # [C, 8]
+        crossing = inside_all.any(axis=1) & ~inside_all.all(axis=1)
+        if not crossing.any():
+            continue
+        base = base[crossing]
+        vals = vals[crossing]
+        inside_all = inside_all[crossing]
+        # Global corner ids [S, 8]: canonicalize shared-edge interpolation
+        # order below, so adjacent tetrahedra produce BIT-IDENTICAL
+        # vertices on a shared edge and the dedupe rounding always merges
+        # them (opposite-endpoint-order interpolation differs by ~1e-6,
+        # which cracked the shell whenever it straddled a rounding
+        # boundary — measured ~4% open edges on a smooth sphere).
+        corner_keys = (
+            (corner_coords[crossing, :, 0] * ny + corner_coords[crossing, :, 1])
+            * nz
+            + corner_coords[crossing, :, 2]
+        )
+
+        n_verts = _march_cells(
+            base, vals, inside_all, corner_keys, level,
+            verts_list, faces_list, n_verts,
+        )
+
+    if not verts_list:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+
+    verts = np.concatenate(verts_list, axis=0)
+    faces = np.concatenate(faces_list, axis=0)
+    return _dedupe_vertices(verts, faces)
+
+
+def _march_cells(
+    base, vals, inside_all, corner_keys, level, verts_list, faces_list, n_verts
+):
+    """Triangulate one batch of crossing cells (see marching_tetrahedra)."""
     for tet in _TETS:
         tv = vals[:, tet]  # [C, 4]
         inside = inside_all[:, tet]  # [C, 4] bool
         count = inside.sum(axis=1)
+        tkeys = corner_keys[:, tet]  # [C, 4]
 
         tet_pos = (base[:, None, :] + _CORNERS[tet][None, :, :]).astype(
             np.float32
         )  # [C, 4, 3]
 
         def interp_edge(sel, a, b):
-            """Iso intersection on edge (a, b) of selected tets: [S, 3]."""
-            va = tv[sel, a]
-            vb = tv[sel, b]
+            """Iso intersection on edge (a, b) of selected tets: [S, 3].
+
+            Endpoints are ordered by GLOBAL corner id first, so the same
+            physical edge interpolates identically regardless of which
+            cell/tetrahedron asks — watertightness depends on it.
+            """
+            swap = tkeys[sel, a] > tkeys[sel, b]
+            va = np.where(swap, tv[sel, b], tv[sel, a])
+            vb = np.where(swap, tv[sel, a], tv[sel, b])
+            pa = np.where(swap[:, None], tet_pos[sel, b], tet_pos[sel, a])
+            pb = np.where(swap[:, None], tet_pos[sel, a], tet_pos[sel, b])
             t = (level - va) / np.where(vb != va, vb - va, 1.0)
             t = np.clip(t, 0.0, 1.0)[:, None]
-            return tet_pos[sel, a] * (1 - t) + tet_pos[sel, b] * t
+            return pa * (1 - t) + pb * t
 
         # Case: exactly one corner inside -> one triangle.
         for k in range(4):
@@ -144,12 +194,7 @@ def marching_tetrahedra(
             )
             n_verts += tris.shape[0] * 3
 
-    if not verts_list:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
-
-    verts = np.concatenate(verts_list, axis=0)
-    faces = np.concatenate(faces_list, axis=0)
-    return _dedupe_vertices(verts, faces)
+    return n_verts
 
 
 def _needs_flip(k: int, others) -> bool:

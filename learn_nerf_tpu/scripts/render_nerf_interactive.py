@@ -59,7 +59,10 @@ def apply_command(view: CameraView, cmd: str, move: float, turn: float) -> bool:
         new_origin = origin + x * move
         view.camera_origin = tuple(new_origin.tolist())
         new_z = -new_origin / (np.linalg.norm(new_origin) + 1e-9)
-        new_x = np.cross(new_z, y)
+        # Repo frame convention: y = cross(z, x), so x = cross(y, z).
+        # (cross(z, y) is the NEGATED x — it flipped the frame 180
+        # degrees on every orbit press.)
+        new_x = np.cross(y, new_z)
         new_x /= np.linalg.norm(new_x) + 1e-9
         view.camera_direction = tuple(new_z.tolist())
         view.x_axis = tuple(new_x.tolist())

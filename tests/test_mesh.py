@@ -78,3 +78,30 @@ def test_stl_writer(tmp_path):
     # First triangle's vertices decode back.
     rec = np.frombuffer(data[84 : 84 + 48], dtype="<f4").reshape(4, 3)
     np.testing.assert_allclose(rec[1:], verts[faces[0]], rtol=1e-6)
+
+
+def test_mesh_watertight_on_smooth_field():
+    """Every directed face edge must have its reverse somewhere: shared
+    edges interpolate canonically (global-corner-id order), so adjacent
+    tetrahedra produce bit-identical vertices and the dedupe merges them.
+    The old endpoint-order-dependent interpolation left ~4% open edges on
+    exactly this smooth sphere (review round 3)."""
+    import numpy as np
+
+    from learn_nerf_tpu.mesh import marching_tetrahedra
+
+    n = 24
+    g = np.stack(
+        np.meshgrid(*([np.linspace(-1, 1, n)] * 3), indexing="ij"), axis=-1
+    )
+    r = np.linalg.norm(g, axis=-1)
+    volume = 1.0 / (1.0 + np.exp((r - 0.6) / 0.05))  # smooth sphere
+    verts, faces = marching_tetrahedra(volume, 0.5)
+    assert len(faces) > 100
+
+    edges = set()
+    for a, b, c in faces.tolist():
+        for e in ((a, b), (b, c), (c, a)):
+            edges.add(e)
+    unmatched = [e for e in edges if (e[1], e[0]) not in edges]
+    assert not unmatched, f"{len(unmatched)} open directed edges"

@@ -10,7 +10,7 @@ is irrelevant).
 Usage: python tools/make_scene_stl.py out.stl
 """
 
-import struct
+
 import sys
 
 import numpy as np
@@ -134,17 +134,16 @@ def scene():
 
 
 def write_stl(path, tris):
-    with open(path, "wb") as f:
-        f.write(b"\0" * 80)
-        f.write(struct.pack("<I", len(tris)))
-        for a, b, c in tris:
-            n = np.cross(np.asarray(b) - a, np.asarray(c) - a)
-            norm = np.linalg.norm(n)
-            n = n / norm if norm > 0 else n
-            f.write(struct.pack("<3f", *n))
-            for v in (a, b, c):
-                f.write(struct.pack("<3f", *np.asarray(v, dtype=np.float32)))
-            f.write(struct.pack("<H", 0))
+    """Thin adapter over the package's binary STL writer (one serializer
+    in the repo; this one just flattens the raw triangle list)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from learn_nerf_tpu.mesh import write_stl as _write
+
+    verts = np.asarray(tris, dtype=np.float32).reshape(-1, 3)
+    faces = np.arange(len(verts), dtype=np.int64).reshape(-1, 3)
+    _write(path, verts, faces)
 
 
 if __name__ == "__main__":
