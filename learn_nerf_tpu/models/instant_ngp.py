@@ -74,7 +74,9 @@ class InstantNGPModel(FieldModel):
     @nn.compact
     def __call__(
         self, x: Array, d: Array, spatial_only: bool = False
-    ) -> FieldOutput:
+    ) -> "FieldOutput | Array":
+        # spatial_only=True returns the bare [.., density_dim] feature
+        # vector (the baked sweep's input), NOT a FieldOutput tuple.
         dtype = jnp.dtype(self.compute_dtype)
         out = HashGridEncoding(
             table_sizes=self.table_sizes,

@@ -73,6 +73,12 @@ class RefNeRFBase(FieldModel):
         (real_normal,) = vjp_fn(cotangent)
         real_normal = safe_normalize(real_normal)
 
+        if spatial_out.shape[-1] < REF_NERF_OUT_DIM:
+            raise ValueError(
+                f"Ref-NeRF spatial block must emit >= {REF_NERF_OUT_DIM} "
+                f"channels (density, diffuse, spectral, roughness, normal); "
+                f"got {spatial_out.shape[-1]} — raise the trunk's output dim"
+            )
         density = jnp.exp(spatial_out[..., 0:1])
         # Initialize diffuse near 0.25 so the initial summed color is ~0.5.
         diffuse = nn.sigmoid(spatial_out[..., 1:4] - math.log(3))

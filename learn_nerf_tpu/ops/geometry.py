@@ -38,10 +38,17 @@ def ray_bbox_range(
              the null range ``(0, min_t_range)`` with ``mask=False``.
     """
     # Solve o + t*d = b for both box planes per axis: [N, 2, 3].
+    # Sign-preserving epsilon: ADDING it can cancel a tiny negative
+    # component to exactly 0 (0/0 NaN -> NaN mask -> silent false miss
+    # for a ray that geometrically hits; the reference's ray_t_range
+    # shares the additive flaw, render.py:346-389).
     bbox = jnp.stack([bbox_min, bbox_max])  # [2, 3]
-    ts = (bbox[None, :, :] - origins[:, None, :]) / (
-        directions[:, None, :] + epsilon
+    safe_dirs = jnp.where(
+        jnp.abs(directions) < epsilon,
+        jnp.where(directions < 0, -epsilon, epsilon),
+        directions,
     )
+    ts = (bbox[None, :, :] - origins[:, None, :]) / safe_dirs[:, None, :]
     near = jnp.min(ts, axis=1)  # [N, 3] entering t per axis
     far = jnp.max(ts, axis=1)  # [N, 3] exiting t per axis
 

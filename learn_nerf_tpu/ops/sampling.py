@@ -14,10 +14,12 @@ TPU-first differences:
 * everything is batched ``[N, T]`` — the reference's per-ray
   ``jax.vmap(jnp.interp)`` (``render.py:251``) becomes one batched
   searchsorted + gather + lerp,
-* the merge of coarse and fine ts exploits that both streams are already
-  sorted: a rank-scatter merge (two searchsorteds + one scatter) instead of
-  the reference's general ``jnp.sort`` over the concatenation
-  (``render.py:253-255``), which XLA lowers to a full bitonic sort network.
+* the merge of coarse and fine ts is ``jnp.sort`` over the concatenation,
+  same as the reference (``render.py:253-255``): the "smarter"
+  rank-scatter merge (two searchsorteds + one scatter) was built and
+  MEASURED 36% SLOWER on TPU v5e (20.6k vs 28.0k rays/s — scatters are
+  count-bound; see :func:`merge_sorted` and docs/DESIGN.md section 3).
+  Do not "restore" it.
 """
 
 import jax

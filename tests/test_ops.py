@@ -242,3 +242,24 @@ def test_hash_grid_grouping_respects_boundaries():
     assert _level_groups([16, 16], [64, 128]) == [(0, 1), (1, 2)]
     assert _level_groups([16], [64]) == [(0, 1)]
     assert _level_groups([], []) == []
+
+
+def test_ray_bbox_range_degenerate_direction_component():
+    """A tiny NEGATIVE direction component must not NaN the slab test: the
+    additive epsilon could cancel it to exactly 0 and 0/0 through min/max
+    made a geometric hit report mask=False (review round 3; the reference
+    ray_t_range shares the additive flaw)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from learn_nerf_tpu.ops.geometry import ray_bbox_range
+
+    eps = 1e-8
+    origins = jnp.asarray([[1.0, 0.0, -3.0]])  # on the +x bbox plane
+    dirs = jnp.asarray([[-eps, 0.0, 1.0]])  # grazing inward along z
+    t_min, t_max, mask = ray_bbox_range(
+        origins, dirs, jnp.full(3, -1.0), jnp.ones(3)
+    )
+    assert np.all(np.isfinite(np.asarray(t_min)))
+    assert np.all(np.isfinite(np.asarray(t_max)))
+    assert bool(mask[0])  # the ray passes straight through the box
