@@ -213,6 +213,16 @@ def superpool_densities(densities: Array, resolution: int, factor: int) -> Array
 #: few buckets a run crosses.
 AUTO_BUDGET_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
 
+#: Safety margin over the measured mean per-ray demand for "auto" pool
+#: sizing — ONE policy for training (train._resolve_pool_budget) and
+#: rendering (occ_render.resolve_auto_budget).
+AUTO_BUDGET_MARGIN = 1.3
+
+
+def auto_budget_from_demand(demand: float, cap: int) -> int:
+    """Measured mean per-ray demand -> quantized budget (margin applied)."""
+    return quantize_budget(demand * AUTO_BUDGET_MARGIN, cap)
+
 
 def quantize_budget(per_ray: float, cap: int) -> int:
     """Snap a measured per-ray demand up to the next budget bucket, capped

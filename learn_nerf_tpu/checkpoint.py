@@ -22,6 +22,11 @@ def _atomic_write(path: str, data: bytes) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
+        f.flush()
+        # fsync BEFORE the rename: with delayed allocation a crash can
+        # persist the rename but not the data blocks, replacing the only
+        # good checkpoint with a truncated file.
+        os.fsync(f.fileno())
     os.rename(tmp, path)
 
 
@@ -113,8 +118,13 @@ def _reconcile_ema(raw: Any, target: Any) -> Any:
                 if "ema_params" in target:
                     raw["ema_params"] = None
             elif r_ema is None:
+                import numpy as np
+
+                # COPIES, not aliases: the jitted step donates the whole
+                # state, and aliased leaves would hand XLA the same
+                # buffer twice (same invariant as train._ema_seed).
                 raw["ema_params"] = jax.tree_util.tree_map(
-                    lambda x: x, raw.get("params")
+                    np.array, raw.get("params")
                 )
         for k, v in list(raw.items()):
             if k in target:

@@ -440,7 +440,7 @@ def resolve_auto_budget(
     avoids the field model entirely, so it is nearly free with a cached
     ``demand_fn``) — a later camera pose can demand more than the first.
     """
-    from .acceleration import quantize_budget
+    from .acceleration import auto_budget_from_demand
 
     # Ceil-stride: floor division would make the subset a raster-order
     # PREFIX of the frame (top rows only) whenever m is not an exact
@@ -451,7 +451,7 @@ def resolve_auto_budget(
     if demand_fn is None:
         demand_fn = make_demand_fn(renderer, transmittance_eps)
     demand = float(demand_fn(jax.random.PRNGKey(0), subset, grid_state))
-    budget = quantize_budget(demand * 1.3, renderer.samples)
+    budget = auto_budget_from_demand(demand, renderer.samples)
     if not quiet:
         print(
             f"auto render budget: {budget} samples/ray "

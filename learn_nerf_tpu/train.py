@@ -153,6 +153,23 @@ def _ema_step(state: EmaTrainState, decay: float) -> EmaTrainState:
     )
 
 
+def _grad_step(loss_fn, state, ema_decay, **loss_kwargs):
+    """THE gradient step shared by every loop/body: grad with aux, norm
+    metrics, Adam update, optional EMA.  One definition, so a change
+    (grad clipping, a new logged norm) cannot drift between the
+    hierarchy, occupancy-dense, and occupancy-pooled bodies."""
+    grads, values = jax.grad(
+        lambda p: loss_fn(p, **loss_kwargs), has_aux=True
+    )(state.params)
+    values = dict(
+        values, grad_norm=tree_norm(grads), param_norm=tree_norm(state.params)
+    )
+    state = state.apply_gradients(grads=grads)
+    if ema_decay is not None:
+        state = _ema_step(state, ema_decay)
+    return state, values
+
+
 class TrainLoop:
     """Stateful training loop over a coarse/fine hierarchy.
 
@@ -227,16 +244,7 @@ class TrainLoop:
         )
 
         def step_body(state, key, batch):
-            grads, values = jax.grad(
-                lambda p: loss_fn(p, key=key, batch=batch), has_aux=True
-            )(state.params)
-            values = dict(
-                values, grad_norm=tree_norm(grads), param_norm=tree_norm(state.params)
-            )
-            state = state.apply_gradients(grads=grads)
-            if self.ema_decay is not None:
-                state = _ema_step(state, self.ema_decay)
-            return state, values
+            return _grad_step(loss_fn, state, self.ema_decay, key=key, batch=batch)
 
         @partial(jax.jit, donate_argnums=0)
         def step(state, key, batch):
@@ -326,7 +334,11 @@ class TrainLoop:
         return values
 
     def eval_losses(self, key: jax.Array, batch: Array) -> Dict[str, Array]:
-        """Loss dict without a gradient step (test-set monitoring)."""
+        """Loss dict without a gradient step (test-set monitoring).
+
+        Evaluates :attr:`eval_params` — with EMA on, the test curve must
+        track the weights actually checkpointed/rendered, not the raw
+        params' near-convergence oscillation."""
         if not hasattr(self, "_eval_fn"):
             loss_fn = partial(
                 compute_losses,
@@ -338,7 +350,7 @@ class TrainLoop:
             self._eval_fn = jax.jit(
                 lambda params, key, batch: loss_fn(params, key=key, batch=batch)[1]
             )
-        return self._eval_fn(self.state.params, key, self.shard_batch(batch))
+        return self._eval_fn(self.eval_params, key, self.shard_batch(batch))
 
     # -- checkpointing ----------------------------------------------------
 
@@ -619,17 +631,10 @@ class OccupancyTrainLoop:
         self._loss_fn = loss_fn
 
         def step_body(state, key, batch, grid_state):
-            grads, values = jax.grad(
-                lambda p: loss_fn(p, key=key, batch=batch, grid_state=grid_state),
-                has_aux=True,
-            )(state.params)
-            values = dict(
-                values, grad_norm=tree_norm(grads), param_norm=tree_norm(state.params)
+            return _grad_step(
+                loss_fn, state, self.ema_decay,
+                key=key, batch=batch, grid_state=grid_state,
             )
-            state = state.apply_gradients(grads=grads)
-            if self.ema_decay is not None:
-                state = _ema_step(state, self.ema_decay)
-            return state, values
 
         @partial(jax.jit, donate_argnums=0)
         def step(state, key, batch, grid_state):
@@ -658,19 +663,10 @@ class OccupancyTrainLoop:
                 density_penalty_batch_size=density_penalty_batch_size,
                 transmittance_eps=pool_t_eps,
             )
-            grads, values = jax.grad(
-                lambda p: pooled_loss(
-                    p, key=key, batch=batch, grid_state=grid_state
-                ),
-                has_aux=True,
-            )(state.params)
-            values = dict(
-                values, grad_norm=tree_norm(grads), param_norm=tree_norm(state.params)
+            return _grad_step(
+                pooled_loss, state, self.ema_decay,
+                key=key, batch=batch, grid_state=grid_state,
             )
-            state = state.apply_gradients(grads=grads)
-            if self.ema_decay is not None:
-                state = _ema_step(state, self.ema_decay)
-            return state, values
 
         @partial(jax.jit, donate_argnums=0, static_argnums=4)
         def step_pooled(state, key, batch, grid_state, budget):
@@ -796,9 +792,9 @@ class OccupancyTrainLoop:
                     self.grid_state,
                 )
             )
-            from .acceleration import quantize_budget
+            from .acceleration import auto_budget_from_demand
 
-            bucket = quantize_budget(demand * 1.3, self.renderer.samples)
+            bucket = auto_budget_from_demand(demand, self.renderer.samples)
             if bucket != self._auto_per_ray:
                 print(
                     f"auto pool budget: {bucket} samples/ray at step "
@@ -908,7 +904,7 @@ class OccupancyTrainLoop:
                 )[1]
             )
         return self._eval_fn(
-            self.state.params, key, self.shard_batch(batch), self.grid_state
+            self.eval_params, key, self.shard_batch(batch), self.grid_state
         )
 
     eval_params = TrainLoop.eval_params
