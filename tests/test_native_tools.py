@@ -63,8 +63,10 @@ def test_simple_dataset_random(binaries, cube_stl, tmp_path):
         capture_output=True,
     )
     meta = json.load(open(os.path.join(out, "metadata.json")))
-    np.testing.assert_allclose(meta["min"], [-0.5] * 3)
-    np.testing.assert_allclose(meta["max"], [0.5] * 3)
+    # Reference normalizeMesh scale: max HALF-extent = 1 (bbox +-1);
+    # an earlier version divided by the full dimension (+-0.5 worlds).
+    np.testing.assert_allclose(meta["min"], [-1.0] * 3)
+    np.testing.assert_allclose(meta["max"], [1.0] * 3)
 
     from learn_nerf_tpu.data import load_dataset
 

@@ -32,7 +32,10 @@ class BVH {
 
   Hit intersect(const Vec3 &origin, const Vec3 &dir) const {
     Hit hit;
-    if (!nodes_.empty()) intersect_node(0, origin, dir, hit);
+    Vec3 inv_d{1.0 / (dir.x == 0 ? 1e-30 : dir.x),
+               1.0 / (dir.y == 0 ? 1e-30 : dir.y),
+               1.0 / (dir.z == 0 ? 1e-30 : dir.z)};
+    if (!nodes_.empty()) intersect_node(0, origin, dir, inv_d, hit);
     return hit;
   }
 
@@ -95,10 +98,12 @@ class BVH {
     return true;
   }
 
-  void intersect_node(int id, const Vec3 &o, const Vec3 &d, Hit &hit) const {
+  // inv_d computed ONCE per ray by the caller: recomputing three
+  // divisions at every node visit was the hottest redundant work in
+  // simple_dataset's render loop.
+  void intersect_node(int id, const Vec3 &o, const Vec3 &d, const Vec3 &inv_d,
+                      Hit &hit) const {
     const Node &n = nodes_[id];
-    Vec3 inv_d{1.0 / (d.x == 0 ? 1e-30 : d.x), 1.0 / (d.y == 0 ? 1e-30 : d.y),
-               1.0 / (d.z == 0 ? 1e-30 : d.z)};
     if (!box_hit(n, o, inv_d, hit.t)) return;
     if (n.count > 0) {
       for (int i = 0; i < n.count; i++) {
@@ -112,8 +117,8 @@ class BVH {
       }
       return;
     }
-    intersect_node(n.left, o, d, hit);
-    intersect_node(n.right, o, d, hit);
+    intersect_node(n.left, o, d, inv_d, hit);
+    intersect_node(n.right, o, d, inv_d, hit);
   }
 
   static bool moller_trumbore(const Triangle &tri, const Vec3 &o, const Vec3 &d,

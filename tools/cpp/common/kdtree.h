@@ -5,6 +5,8 @@
 
 #include <algorithm>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <limits>
 #include <numeric>
 #include <queue>
@@ -33,11 +35,19 @@ class KdTree {
     return (pts_[i] - q).norm();
   }
 
-  // Squared distance to the k-th nearest neighbour (k >= 1; the query
-  // point itself counts if it is in the tree, matching Go's tree.KNN).
+  // Squared distance to the k-th nearest neighbour (the query point
+  // itself counts if it is in the tree, matching Go's tree.KNN).  With
+  // fewer than k points in the tree this is the distance to the
+  // farthest point.  k < 1 or an empty tree is a caller error — top()
+  // on an empty heap would be UB, so fail loudly.
   double knn_squared_dist(const Vec3 &q, int k) const {
     std::priority_queue<double> heap;  // max-heap of the k best sq dists
-    knn_rec(q, 0, ids_.size(), 0, k, heap);
+    if (k >= 1) knn_rec(q, 0, ids_.size(), 0, k, heap);
+    if (heap.empty()) {
+      fprintf(stderr, "knn_squared_dist: k=%d on a tree of %zu points\n", k,
+              ids_.size());
+      abort();
+    }
     return heap.top();
   }
 

@@ -42,13 +42,19 @@ inline bool perm_is_odd(int a, int b, int c, int d) {
 }  // namespace marching_detail
 
 // Extract the surface of `solid` over its bbox with cell size `delta`.
-// Edge crossings are found by `iters` bisection steps.
+// Edge crossings are found by `iters` bisection steps.  `pad` must cover
+// however far the solid extends BEYOND [lo, hi] (e.g. the union-of-spheres
+// thickness): padding by one cell alone leaves the shell open at the
+// boundary whenever the solid reaches past the outermost sampled plane
+// (the Go reference clips the solid to the bbox instead — either way the
+// mesh must close).
 inline Mesh marching_solid(const SolidFn &solid, Vec3 lo, Vec3 hi, double delta,
-                           int iters = 8) {
+                           int iters = 8, double pad = 0.0) {
   using namespace marching_detail;
-  // Pad one cell so the surface closes at the boundary.
-  lo = lo - Vec3{delta, delta, delta};
-  hi = hi + Vec3{delta, delta, delta};
+  // Pad one cell past the solid's reach so the surface closes.
+  double p = pad + delta;
+  lo = lo - Vec3{p, p, p};
+  hi = hi + Vec3{p, p, p};
   int nx = (int)((hi.x - lo.x) / delta) + 1;
   int ny = (int)((hi.y - lo.y) / delta) + 1;
   int nz = (int)((hi.z - lo.z) / delta) + 1;

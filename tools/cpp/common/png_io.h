@@ -90,6 +90,9 @@ struct Image {
 
   // Sample as 16-bit grayscale (matches Go's color.Gray16Model conversion
   // for gray inputs; for RGB uses the standard luma weights Go applies).
+  // Channel layouts: 1 = gray, 2 = gray+alpha, 3 = RGB, 4 = RGBA —
+  // treating gray+alpha as RGB read the alpha as green and the NEXT
+  // pixel (out of bounds on the last one) as blue.
   uint16_t gray16(int x, int y) const {
     size_t bpp = (size_t)channels * (bit_depth / 8);
     const uint8_t *p = &data[((size_t)y * width + x) * bpp];
@@ -97,9 +100,16 @@ struct Image {
       if (bit_depth == 16) return (p[2 * c] << 8) | p[2 * c + 1];
       return p[c] * 0x101;
     };
-    if (channels == 1) return (uint16_t)chan16(0);
+    if (channels <= 2) return (uint16_t)chan16(0);
     uint32_t r = chan16(0), g = chan16(1), b = chan16(2);
-    return (uint16_t)((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16);
+    uint32_t gray = (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16;
+    if (channels == 4) {
+      // Alpha-premultiply like Go's color model conversions: a
+      // transparent background must not contribute its stored RGB.
+      uint32_t a = chan16(3);
+      gray = gray * a / 0xffff;
+    }
+    return (uint16_t)gray;
   }
 
   void rgb8(int x, int y, uint8_t out[3]) const {
@@ -108,10 +118,18 @@ struct Image {
     auto chan8 = [&](int c) -> uint8_t {
       return bit_depth == 16 ? p[2 * c] : p[c];
     };
-    if (channels == 1) {
-      out[0] = out[1] = out[2] = chan8(0);
+    if (channels <= 2) {
+      uint8_t g = chan8(0);
+      if (channels == 2) g = (uint8_t)((uint32_t)g * chan8(1) / 255);
+      out[0] = out[1] = out[2] = g;
     } else {
       out[0] = chan8(0); out[1] = chan8(1); out[2] = chan8(2);
+      if (channels == 4) {
+        // Alpha-premultiply (Go color.RGBAModel semantics).
+        uint32_t a = chan8(3);
+        for (int i = 0; i < 3; i++)
+          out[i] = (uint8_t)((uint32_t)out[i] * a / 255);
+      }
     }
   }
 };
@@ -146,9 +164,14 @@ inline Image read_png(const std::string &path) {
   int color_type = 0;
   while (pos + 8 <= file.size()) {
     uint32_t len = read_u32(&file[pos]);
+    // Validate the declared chunk fits the file BEFORE touching its
+    // data: a truncated/corrupt PNG must error, not read out of bounds.
+    if (pos + 8 + (size_t)len + 4 > file.size())
+      throw std::runtime_error("truncated PNG chunk in " + path);
     std::string type((char *)&file[pos + 4], 4);
     const uint8_t *data = &file[pos + 8];
     if (type == "IHDR") {
+      if (len < 13) throw std::runtime_error("short IHDR in " + path);
       img.width = read_u32(data);
       img.height = read_u32(data + 4);
       img.bit_depth = data[8];

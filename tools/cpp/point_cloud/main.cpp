@@ -204,6 +204,12 @@ int main(int argc, char **argv) {
     return 1;
   }
 
+  if (max_points < 1 || sort_density_k < 1) {
+    // An accidental 0 (atoi of a typo) would empty the cloud below and
+    // crash on points[0] / an empty k-d tree; fail loudly instead.
+    fprintf(stderr, "-max-points and -sort-density-k must be >= 1\n");
+    return 1;
+  }
   if ((int)points.size() > max_points) {
     fprintf(stderr, "Found %zu points. Reducing to %d...\n", points.size(),
             max_points);
@@ -242,7 +248,7 @@ int main(int argc, char **argv) {
   SolidFn solid = [&](const Vec3 &c) { return tree.dist(c) < thickness; };
 
   fprintf(stderr, "Creating mesh...\n");
-  Mesh mesh = marching_solid(solid, lo, hi, delta, 8);
+  Mesh mesh = marching_solid(solid, lo, hi, delta, 8, thickness);
   fprintf(stderr, "Mesh: %zu vertices, %zu faces\n", mesh.verts.size(),
           mesh.faces.size());
 

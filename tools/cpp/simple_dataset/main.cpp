@@ -204,9 +204,13 @@ int main(int argc, char **argv) {
     t.v1 = t.v1 - center;
     t.v2 = t.v2 - center;
   }
+  // Scale so the max HALF-extent is 1 (bbox ~[-1, 1]) — the reference's
+  // normalizeMesh divides by max(mesh.Max()) AFTER centering
+  // (main.go:139-144).  Dividing by the full dimension instead halved
+  // every generated world (and silently broke cross-tool comparisons).
   Vec3 half = (hi - lo) * 0.5;
   double max_dim = std::fmax(half.x, std::fmax(half.y, half.z));
-  double scale = 1.0 / (2.0 * max_dim);
+  double scale = 1.0 / max_dim;
   for (Triangle &t : tris) {
     t.v0 = t.v0 * scale;
     t.v1 = t.v1 * scale;
