@@ -167,6 +167,14 @@ def bench_pooled():
         densities=jnp.asarray(occupied),
         step=jnp.asarray(loop.grid.warmup_updates, jnp.int32),
     )
+    # FREEZE the synthetic grid: the step-0 refresh would max-in the
+    # UNTRAINED model's exp(~0)~1.0 densities, roughly doubling the
+    # occupancy (and the auto budget) out from under the documented
+    # "demand ~10/ray" workload.  _host_step=1 skips the step-0 cadence
+    # hit; the huge interval blocks all later refreshes; pooling is
+    # already active (pool_start_step=0 < 1).
+    loop.update_interval = 10**9
+    loop._host_step = 1
     batch = make_batch(np.random.RandomState(0))
     rays, secs = run_steps(loop, batch, steps=32, warmup=4)
     return dict(
@@ -254,8 +262,11 @@ def _device_watchdog(seconds: float):
                     vs_baseline=0,
                     error=(
                         f"device unreachable: first device op did not "
-                        f"answer within {seconds:.0f}s (TPU relay wedge; "
-                        f"see CLAUDE.md). No measurement taken."
+                        f"answer within {seconds:.0f}s — TPU relay wedge "
+                        f"OR the single chip is held by another python "
+                        f"process (one-python-at-a-time rule; raise "
+                        f"BENCH_PROBE_TIMEOUT if a long job is queued "
+                        f"ahead). No measurement taken; see CLAUDE.md."
                     ),
                 )
             ),
@@ -269,6 +280,12 @@ def _device_watchdog(seconds: float):
 
 def main():
     mode = os.environ.get("BENCH_MODE", "all")
+    valid = ("all", "occupancy", "pooled", "parity", "vanilla")
+    if mode not in valid:
+        # Fail fast (and BEFORE the device probe): an unknown mode would
+        # otherwise fall through every branch and die on a bare KeyError
+        # with no JSON line for the harness to parse.
+        raise SystemExit(f"BENCH_MODE={mode!r} not in {valid}")
     # Probe the device with a trivial op under a watchdog BEFORE the real
     # benchmarks (their first compile legitimately takes minutes; the
     # probe answers in seconds on a healthy chip).

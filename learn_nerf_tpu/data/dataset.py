@@ -95,6 +95,14 @@ def load_dataset(directory: str) -> NeRFDataset:
         img_path = os.path.join(directory, name)
         json_path = img_path[: -len(".png")] + ".json"
         if not os.path.exists(json_path):
-            continue  # e.g. *_depth.png companions from dataset distillation
+            if name.endswith("_depth.png"):
+                continue  # distillation depth companions have no camera
+            # Any OTHER camera-less png is a broken dataset (misnamed or
+            # missing jsons) — silently skipping used to surface as a
+            # confusing empty-iterator failure far downstream.
+            raise FileNotFoundError(
+                f"no camera json for {img_path} (expected {json_path}); "
+                f"rename depth companions *_depth.png or add the json"
+            )
         dataset.views.append(FileNeRFView.from_json(json_path, image_path=img_path))
     return dataset

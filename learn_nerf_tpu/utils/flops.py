@@ -28,7 +28,14 @@ def lowered_cost(lowered) -> Optional[Dict[str, float]]:
     XLA cost analysis (``None`` when the backend exposes no cost model —
     some PJRT plugins; callers should then omit MFU rather than guess)."""
     try:
-        analysis = lowered.compile().cost_analysis()
+        try:
+            # Pre-compile HLO cost analysis when the JAX version exposes
+            # it: .compile() here would RE-compile a program the caller
+            # already ran (up to ~5 min over the remote relay, 3x per
+            # bench run).
+            analysis = lowered.cost_analysis()
+        except Exception:
+            analysis = lowered.compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):  # some backends wrap per-device
             analysis = analysis[0]
         if not analysis:
