@@ -26,15 +26,20 @@ def save_orbax(path: str, state: Any) -> None:
 
 
 def load_orbax(path: str, template: Any) -> Any:
-    """Restore into the structure/shardings of ``template``."""
+    """Restore into the structure/shardings of ``template``.
+
+    Host-side template leaves (plain numpy, no ``.sharding``) get a bare
+    ``RestoreArgs`` — mapping them to ``None`` would DELETE those leaves
+    from the pytree (None is an empty subtree to JAX) and break the
+    structural match orbax requires.
+    """
     import orbax.checkpoint as ocp
 
-    shardings = jax.tree_util.tree_map(
-        lambda x: x.sharding if hasattr(x, "sharding") else None, template
-    )
     restore_args = jax.tree_util.tree_map(
-        lambda s: ocp.ArrayRestoreArgs(sharding=s) if s is not None else None,
-        shardings,
+        lambda x: ocp.ArrayRestoreArgs(sharding=x.sharding)
+        if hasattr(x, "sharding")
+        else ocp.RestoreArgs(),
+        template,
     )
     return _checkpointer().restore(
         os.path.abspath(path), item=template, restore_args=restore_args

@@ -231,10 +231,19 @@ def apply_baking(args, fine, params):
     pack = getattr(args, "baked_pack", 1)
     cache_path = None
     if getattr(args, "baked_cache", False):
+        import hashlib
+
         pack_tag = f".p{pack}" if pack != 1 else ""
+        # The bbox is part of the cache identity: the grid's values are
+        # sampled on THIS bbox's world lattice — the same checkpoint
+        # rendered with a different metadata.json must re-bake, not
+        # silently attribute every value to the wrong position.
+        bbox_tag = hashlib.md5(
+            repr((tuple(fine.bbox_min), tuple(fine.bbox_max))).encode()
+        ).hexdigest()[:8]
         cache_path = (
             f"{args.model_path}.baked{args.baked}.{args.baked_dtype}"
-            f"{pack_tag}.npz"
+            f"{pack_tag}.{bbox_tag}.npz"
         )
         ckpt_mtime = os.path.getmtime(args.model_path)
         if (
@@ -297,7 +306,12 @@ def apply_baking(args, fine, params):
             arrays[f"Dense_{i}_kernel"] = np.asarray(host[f"Dense_{i}"]["kernel"])
             arrays[f"Dense_{i}_bias"] = np.asarray(host[f"Dense_{i}"]["bias"])
             i += 1
-        np.savez(cache_path, **arrays)
+        # Atomic write (tmp + rename): a kill mid-write of this multi-GB
+        # file would leave a truncated cache whose mtime still passes the
+        # freshness check, crashing every later --baked_cache run.
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, cache_path)
         print(f"wrote baked grid cache: {cache_path}", flush=True)
     return baked, baked_params
 

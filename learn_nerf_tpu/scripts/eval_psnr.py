@@ -32,7 +32,9 @@ def main(argv=None):
     args.metadata_json = os.path.join(args.data_dir, "metadata.json")
 
     data = load_dataset(args.data_dir)
-    views = data.views[: args.max_views] if args.max_views else data.views
+    views = (
+        data.views[: args.max_views] if args.max_views is not None else data.views
+    )
 
     from ..utils.progress import progress
 

@@ -110,6 +110,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.steps_per_dispatch > 1 and args.test_data_dir is not None:
+        # Validate pure flag combinations BEFORE datasets/model/checkpoint
+        # load (minutes of IO on real scenes).
+        raise SystemExit(
+            "--steps_per_dispatch > 1 is incompatible with --test_data_dir "
+            "(the per-step test-loss path keeps per-step dispatch)"
+        )
     if args.test_batch_size is None:
         args.test_batch_size = args.batch_size
 
@@ -170,7 +177,20 @@ def main(argv=None):
             alpha=args.lr_final_frac,
         )
         if resume_step:
-            print(f"cosine schedule resumes at step {resume_step}")
+            # --steps is the TOTAL decay span: a resumed run trains only
+            # the remaining steps, so equal-step comparisons (BASELINE.md
+            # methodology) hold across crash/resume — without the cap a
+            # rerun would overshoot the budget and train the overflow at
+            # the lr floor.
+            remaining = max(args.steps - resume_step, 0)
+            print(
+                f"cosine schedule resumes at step {resume_step}; "
+                f"{remaining} of {args.steps} total steps remain"
+            )
+            if remaining == 0:
+                print("nothing to do: the checkpoint already covers --steps")
+                return
+            args.steps = remaining
             lr = lambda count: base_schedule(count + resume_step)
         else:
             lr = base_schedule

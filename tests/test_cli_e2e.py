@@ -325,23 +325,36 @@ def test_cosine_pickle_resume_continues_schedule(tiny_dataset, tmp_path, capsys)
     the schedule (a fresh optimizer's count starts at 0)."""
     from learn_nerf_tpu.scripts import train_nerf
 
+    import pickle
+
     save_path = str(tmp_path / "resume.pkl")
-    args = [
-        "--seed", "0",
-        "--lr", "1e-3",
-        "--lr_schedule", "cosine",
-        "--batch_size", "256",
-        "--coarse_samples", "8",
-        "--fine_samples", "8",
-        "--steps", "8",
-        "--save_path", save_path,
-        tiny_dataset,
-    ]
-    train_nerf.main(args)
+
+    def args(steps):
+        return [
+            "--seed", "0",
+            "--lr", "1e-3",
+            "--lr_schedule", "cosine",
+            "--batch_size", "256",
+            "--coarse_samples", "8",
+            "--fine_samples", "8",
+            "--steps", str(steps),
+            "--save_path", save_path,
+            tiny_dataset,
+        ]
+
+    train_nerf.main(args(8))
     capsys.readouterr()
-    train_nerf.main(args)  # auto-resumes from save_path
+    # --steps is the TOTAL decay span: resuming an 8-step checkpoint with
+    # --steps 12 trains exactly 4 more steps at the continued lr.
+    train_nerf.main(args(12))
     out = capsys.readouterr().out
-    assert "cosine schedule resumes at step 8" in out
+    assert "cosine schedule resumes at step 8; 4 of 12 total steps" in out
+    with open(save_path, "rb") as f:
+        assert int(pickle.load(f)["train_host_step"]) == 12
+    # Same command again: the budget is already covered -> clean no-op.
+    train_nerf.main(args(12))
+    out = capsys.readouterr().out
+    assert "nothing to do" in out
 
 
 def test_steps_per_dispatch_hierarchy(tiny_dataset, tmp_path):
