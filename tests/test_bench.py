@@ -51,3 +51,47 @@ def test_roofline_math():
     assert roofline(None, 0.1) == {}
     out2 = roofline(dict(flops=1.0, bytes=8.19e11), seconds=1.0)
     assert out2["bound"] == "memory"
+
+
+def test_pooled_bench_grid_freeze_invariant():
+    """bench_pooled freezes its synthetic grid (update_interval past the
+    run, _host_step=1): the loop-level invariant is that no refresh fires,
+    so the hand-planted densities survive every step — otherwise the
+    bench's documented '~10/ray demand' workload silently doubles."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from learn_nerf_tpu.models import NeRFModel
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    model = NeRFModel(hidden_dim=16, color_layer_dim=8, input_layers=1, mid_layers=1)
+    loop = OccupancyTrainLoop(
+        model,
+        init_rng=jax.random.PRNGKey(0),
+        lr=1e-3,
+        bbox_min=(-1, -1, -1),
+        bbox_max=(1, 1, 1),
+        candidates=16,
+        samples=4,
+        grid_resolution=8,
+        update_interval=16,
+        pool_budget_per_ray="auto",
+        pool_start_step=0,
+    )
+    rng = np.random.RandomState(3)
+    planted = (rng.rand(8**3) < 0.05).astype(np.float32)
+    loop.grid_state = loop.grid_state.replace(
+        densities=jnp.asarray(planted),
+        step=jnp.asarray(loop.grid.warmup_updates, jnp.int32),
+    )
+    loop.update_interval = 10**9
+    loop._host_step = 1
+
+    batch = np.stack(
+        [rng.randn(32, 3), rng.randn(32, 3), rng.rand(32, 3) * 2 - 1], axis=1
+    ).astype(np.float32)
+    batch[:, 1] /= np.linalg.norm(batch[:, 1], axis=-1, keepdims=True)
+    for _ in range(20):
+        loop.step_auto(jax.random.PRNGKey(7), batch)
+    np.testing.assert_array_equal(np.asarray(loop.grid_state.densities), planted)
