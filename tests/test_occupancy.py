@@ -1519,3 +1519,50 @@ def test_fixed_k_frame_honors_transmittance_eps():
         np.asarray(pruned["outputs"][:32]), np.asarray(direct["outputs"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_pooled_equals_dense_fuzz(seed):
+    """Pooled compaction == fixed-K rendering at ample budget across
+    randomized configs (grid size, candidates, samples, occupancy
+    fraction, ray count): the invariant behind lossless auto-budget
+    sizing must not depend on one hand-picked shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    rng = np.random.RandomState(100 + seed)
+    res = int(rng.choice([4, 8, 16]))
+    c = int(rng.choice([8, 16, 24]))
+    k = int(rng.choice([4, 8, c]))
+    k = min(k, c)
+    n = int(rng.choice([33, 64, 127]))  # odd sizes included
+    frac = float(rng.choice([0.05, 0.3, 0.9]))
+
+    model, params = _small_model_and_params()
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=res)
+    grid_state = grid.init().replace(
+        densities=jnp.asarray((rng.rand(res**3) < frac).astype(np.float32)),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+    renderer = OccupancyRenderer(
+        model=model, grid=grid,
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=c, samples=k,
+    )
+    rays = jnp.asarray(_random_rays(n, seed=seed))
+    background = jnp.asarray([0.1, -0.4, 0.7])
+    key = jax.random.PRNGKey(seed)
+
+    dense, _ = renderer.render_rays(key, rays, params, background, grid_state)
+    pooled = renderer.render_rays_pooled(
+        key, rays, params, background, grid_state,
+        budget=n * k, transmittance_eps=0.0,
+    )
+    assert int(pooled["dropped"]) == 0  # budget n*k can never overflow
+    np.testing.assert_allclose(
+        np.asarray(pooled["outputs"]), np.asarray(dense["outputs"]),
+        rtol=0, atol=5e-6,
+    )
