@@ -129,6 +129,18 @@ def bench_occupancy():
     )
 
 
+def freeze_pooled_grid(loop):
+    """Freeze a synthetic grid for the pooled bench (shared with its
+    test): the step-0 refresh would max-in the UNTRAINED model's
+    exp(~0)~1.0 densities, roughly doubling the occupancy (and the auto
+    budget) out from under the documented "demand ~10/ray" workload.
+    _host_step=1 skips the step-0 cadence hit; the huge interval blocks
+    all later refreshes; pooling stays active (pool_start_step=0 < 1).
+    """
+    loop.update_interval = 10**9
+    loop._host_step = max(loop._host_step, 1)
+
+
 def bench_pooled():
     """The shipped flagship config (--occ_train_budget auto): once the
     grid culls, each step pools the batch's actual survivors so the field
@@ -167,14 +179,7 @@ def bench_pooled():
         densities=jnp.asarray(occupied),
         step=jnp.asarray(loop.grid.warmup_updates, jnp.int32),
     )
-    # FREEZE the synthetic grid: the step-0 refresh would max-in the
-    # UNTRAINED model's exp(~0)~1.0 densities, roughly doubling the
-    # occupancy (and the auto budget) out from under the documented
-    # "demand ~10/ray" workload.  _host_step=1 skips the step-0 cadence
-    # hit; the huge interval blocks all later refreshes; pooling is
-    # already active (pool_start_step=0 < 1).
-    loop.update_interval = 10**9
-    loop._host_step = 1
+    freeze_pooled_grid(loop)
     batch = make_batch(np.random.RandomState(0))
     rays, secs = run_steps(loop, batch, steps=32, warmup=4)
     return dict(

@@ -85,8 +85,9 @@ def test_pooled_bench_grid_freeze_invariant():
         densities=jnp.asarray(planted),
         step=jnp.asarray(loop.grid.warmup_updates, jnp.int32),
     )
-    loop.update_interval = 10**9
-    loop._host_step = 1
+    import bench
+
+    bench.freeze_pooled_grid(loop)  # the exact mechanism bench_pooled uses
 
     batch = np.stack(
         [rng.randn(32, 3), rng.randn(32, 3), rng.rand(32, 3) * 2 - 1], axis=1

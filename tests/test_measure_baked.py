@@ -12,6 +12,8 @@ import sys
 
 from .synthetic_scene import write_dataset
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_measure_baked_cli(tmp_path):
     scene = str(tmp_path / "scene")
@@ -41,7 +43,7 @@ def test_measure_baked_cli(tmp_path):
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
     out = subprocess.run(
         [
-            sys.executable, "tools/measure_baked.py", ckpt,
+            sys.executable, os.path.join(REPO, "tools", "measure_baked.py"), ckpt,
             os.path.join(scene, "metadata.json"),
             os.path.join(scene, "0000.json"),
             "--size", "16", "--resolutions", "24", "--budget", "8",
@@ -51,7 +53,7 @@ def test_measure_baked_cli(tmp_path):
         capture_output=True,
         text=True,
         env=env,
-        cwd="/root/repo",
+        cwd=REPO,
         timeout=1500,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
@@ -60,7 +62,8 @@ def test_measure_baked_cli(tmp_path):
         r"^baked_24_p2: PSNR vs live ([\d.]+|inf) dB, speedup", out.stdout, re.M
     )
     assert m, out.stdout
-    # Float-space PSNR: a near-lossless tiny bake must resolve well above
-    # the ~56 dB floor u8 quantization would impose.
+    # Float-space PSNR: a near-lossless tiny bake must resolve ABOVE the
+    # ~56 dB floor u8 quantization would impose — a threshold below that
+    # floor could not catch a regression to u8-space PSNR.
     psnr = float(m.group(1))
-    assert psnr > 40.0, out.stdout
+    assert psnr > 60.0, out.stdout

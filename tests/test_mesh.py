@@ -99,9 +99,18 @@ def test_mesh_watertight_on_smooth_field():
     verts, faces = marching_tetrahedra(volume, 0.5)
     assert len(faces) > 100
 
-    edges = set()
+    from collections import Counter
+
+    edges = Counter()
     for a, b, c in faces.tolist():
         for e in ((a, b), (b, c), (c, a)):
-            edges.add(e)
-    unmatched = [e for e in edges if (e[1], e[0]) not in edges]
-    assert not unmatched, f"{len(unmatched)} open directed edges"
+            edges[e] += 1
+    # Closed 2-manifold: every directed edge appears EXACTLY once and its
+    # reverse exactly once (a set would collapse duplicated-winding faces
+    # and pass non-manifold fins).
+    bad = [
+        e
+        for e, n in edges.items()
+        if n != 1 or edges.get((e[1], e[0]), 0) != 1
+    ]
+    assert not bad, f"{len(bad)} non-manifold/open directed edges"

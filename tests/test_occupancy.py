@@ -1405,8 +1405,9 @@ def test_grid_resolution_mismatch_rejected():
     )
     with pytest.raises(ValueError, match="--occ_grid 16"):
         grid.state_from_checkpoint(payload)
-    # Matching resolution loads fine; missing resolution key is accepted
-    # (older checkpoints) and trusted to match.
+    # Matching resolution loads fine; a missing resolution key falls back
+    # to the density vector's own length (checked below: a legacy
+    # mismatch still raises).
     ok = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16)
     state = ok.state_from_checkpoint(payload)
     assert state.densities.shape == (16**3,)
