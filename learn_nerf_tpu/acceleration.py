@@ -163,6 +163,7 @@ class OccupancyGrid:
         params: Any,
         key: jax.Array,
         num_cells: Optional[int] = None,
+        num_samples: int = 1,
     ) -> OccupancyGridState:
         """One EMA update (Instant NGP rule, partial-sampling variant).
 
@@ -172,6 +173,17 @@ class OccupancyGrid:
         Partial updates keep the amortized cost negligible — unvisited
         dense cells survive ~``log(threshold)/log(decay)`` updates before
         a refresh is needed.  Call under jit every N training steps.
+
+        ``num_samples`` jittered points per cell (max taken): a single
+        sample misses a thin density shell inside the cell with
+        probability ``1 - shell_fraction`` per refresh, and once the
+        model sharpens (late training), a missed surface cell decays,
+        culls, and stops receiving ray samples — measured as a loss
+        excursion from ~5e-5 to ~5e-3 over the last ~70 of 1600 cosine
+        steps.  S samples drop the miss probability exponentially; the
+        refresh runs off the hot path (every ``update_interval`` steps),
+        so S=4 costs ~4x a negligible amount.  ``num_samples=1``
+        reproduces the original key stream bit-for-bit.
         """
         cell_key, jitter_key = jax.random.split(key)
         n = self.resolution**3
@@ -179,10 +191,25 @@ class OccupancyGrid:
             ids = jnp.arange(n, dtype=jnp.int32)
         else:
             ids = jax.random.randint(cell_key, (num_cells,), 0, n)
-        pts = self.cell_positions(jitter_key, ids)
-        dirs = jnp.zeros_like(pts)
-        density, _, _ = model.apply(dict(params=params), pts, dirs)
-        density = jax.lax.stop_gradient(density[..., 0])
+
+        def density_at(jkey):
+            pts = self.cell_positions(jkey, ids)
+            dirs = jnp.zeros_like(pts)
+            d, _, _ = model.apply(dict(params=params), pts, dirs)
+            return jax.lax.stop_gradient(d[..., 0])
+
+        if num_samples <= 1:
+            density = density_at(jitter_key)
+        else:
+            density = jnp.max(
+                jnp.stack(
+                    [
+                        density_at(jax.random.fold_in(jitter_key, s))
+                        for s in range(num_samples)
+                    ]
+                ),
+                axis=0,
+            )
 
         # No decay during warmup: partial refreshes may not visit a cell at
         # all in the warmup window, and an unvisited cell must leave warmup

@@ -101,6 +101,17 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "0 unless resuming with a converged grid",
     )
     parser.add_argument(
+        "--occ_refresh_samples",
+        type=int,
+        default=1,
+        help="jittered model samples per refreshed grid cell (max taken). "
+        "1 matches Instant NGP; raise to 4 for long runs where the "
+        "density shell gets thinner than a cell — a single sample then "
+        "misses it, the cell culls, and the loss excursions (measured "
+        "5e-5 -> 5e-3 late in a 1600-step cosine run). Refresh is off "
+        "the hot path, so the cost is amortized",
+    )
+    parser.add_argument(
         "--occ_warmup",
         type=int,
         default=16,

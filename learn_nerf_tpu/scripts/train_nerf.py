@@ -214,6 +214,7 @@ def main(argv=None):
             pool_start_step=args.occ_train_budget_start,
             pool_t_eps=args.occ_train_t_eps,
             grid_warmup_updates=args.occ_warmup,
+            grid_refresh_samples=args.occ_refresh_samples,
             ema_decay=args.ema,
             **train_kwargs,
         )

@@ -560,6 +560,7 @@ class OccupancyTrainLoop:
         grid_threshold: float = 0.01,
         update_interval: int = 16,
         update_cells: int = 2**17,
+        grid_refresh_samples: int = 1,
         adam_b1: float = 0.9,
         adam_b2: float = 0.999,
         adam_eps: float = 1e-7,
@@ -596,6 +597,7 @@ class OccupancyTrainLoop:
         )
         self.update_interval = update_interval
         self.update_cells = update_cells
+        self.grid_refresh_samples = grid_refresh_samples
         self.mesh = mesh if mesh is not None else default_mesh()
 
         self.ema_decay = ema_decay
@@ -706,6 +708,7 @@ class OccupancyTrainLoop:
                         state.params["fine"],
                         key,
                         num_cells=self.update_cells,
+                        num_samples=self.grid_refresh_samples,
                     )
 
                 grid_state = jax.lax.cond(
@@ -740,7 +743,8 @@ class OccupancyTrainLoop:
         @partial(jax.jit, donate_argnums=0, static_argnums=3)
         def update_grid(grid_state, params, key, num_cells):
             return self.grid.update(
-                grid_state, self.model, params["fine"], key, num_cells=num_cells
+                grid_state, self.model, params["fine"], key,
+                num_cells=num_cells, num_samples=self.grid_refresh_samples,
             )
 
         self._update_grid_fn = update_grid
@@ -750,7 +754,8 @@ class OccupancyTrainLoop:
             # tag 1 = grid refresh (disjoint from the train-step stream).
             key = jax.random.fold_in(jax.random.fold_in(base_key, 1), step)
             return self.grid.update(
-                grid_state, self.model, params["fine"], key, num_cells=num_cells
+                grid_state, self.model, params["fine"], key,
+                num_cells=num_cells, num_samples=self.grid_refresh_samples,
             )
 
         self._update_grid_auto_fn = update_grid_auto

@@ -1567,3 +1567,64 @@ def test_pooled_equals_dense_fuzz(seed):
         np.asarray(pooled["outputs"]), np.asarray(dense["outputs"]),
         rtol=0, atol=5e-6,
     )
+
+
+def test_grid_refresh_multi_sample():
+    """--occ_refresh_samples: S jittered points per refreshed cell (max).
+    S=1 must reproduce the original key stream bit-for-bit; S=8 must
+    detect a thin density shell inside a cell far more reliably than a
+    single sample (the measured late-training failure mode: a sharpened
+    shell thinner than the cell gets missed, the cell culls, and the
+    loss excursions)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+
+    class ThinShell(nn.Module):
+        """Density 50 only within |x| < 0.02 (a thin wall through x=0)."""
+
+        @nn.compact
+        def __call__(self, x, d):
+            density = jnp.where(jnp.abs(x[..., :1]) < 0.02, 50.0, 0.0)
+            return density, jnp.zeros_like(x), {}
+
+    model = ThinShell()
+    params = model.init(
+        dict(params=jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    ).get("params", {})
+    grid = OccupancyGrid(
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=4,
+        warmup_updates=0,
+    )
+    # Cells straddling x=0 contain the wall in a ~4% slice of their width.
+    # Zeroed densities: the init floor (2x threshold) would otherwise keep
+    # every cell occupied regardless of what the refresh detects.
+    state0 = grid.init().replace(
+        densities=jnp.zeros_like(grid.init().densities),
+        step=jnp.asarray(1, jnp.int32),
+    )
+
+    # Bit-identity: num_samples=1 == the original single-sample update.
+    a = grid.update(state0, model, params, jax.random.PRNGKey(3))
+    b = grid.update(state0, model, params, jax.random.PRNGKey(3), num_samples=1)
+    np.testing.assert_array_equal(np.asarray(a.densities), np.asarray(b.densities))
+
+    # Detection statistics over 20 keys: count refreshes that mark the
+    # wall cell at (cell x=1, y=0, z=0 -> world x in [-0.5, 0]) occupied.
+    idx = 1 + 4 * (0 + 4 * 0)
+    def detections(num_samples):
+        hits = 0
+        for k in range(20):
+            st = grid.update(
+                state0, model, params, jax.random.PRNGKey(100 + k),
+                num_samples=num_samples,
+            )
+            hits += int(np.asarray(st.densities)[idx] > grid.threshold)
+        return hits
+
+    d1, d8 = detections(1), detections(8)
+    # p(single sample hits a 4%-wide slab) ~ 0.04; with 8 samples ~ 0.28.
+    assert d8 > d1, (d1, d8)
+    assert d8 >= 3, (d1, d8)
