@@ -112,6 +112,18 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "the hot path, so the cost is amortized",
     )
     parser.add_argument(
+        "--occ_freeze_grid_after",
+        type=int,
+        default=None,
+        help="stop grid refreshes after this step (grid frozen for the "
+        "rest of the run). Measured: late in long cosine runs the grid's "
+        "decay-culling keeps shifting sample placement under the "
+        "CONVERGED model — the loss excursions 5e-5 -> 5e-3 with the "
+        "params provably frozen (lr~0). The grid converges by ~2x the "
+        "warmup window; freezing it there (e.g. 512) removes the "
+        "grid-driven tail instability",
+    )
+    parser.add_argument(
         "--occ_warmup",
         type=int,
         default=16,

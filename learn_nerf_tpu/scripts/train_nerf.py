@@ -215,6 +215,7 @@ def main(argv=None):
             pool_t_eps=args.occ_train_t_eps,
             grid_warmup_updates=args.occ_warmup,
             grid_refresh_samples=args.occ_refresh_samples,
+            grid_freeze_after=args.occ_freeze_grid_after,
             ema_decay=args.ema,
             **train_kwargs,
         )

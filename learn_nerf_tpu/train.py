@@ -561,6 +561,7 @@ class OccupancyTrainLoop:
         update_interval: int = 16,
         update_cells: int = 2**17,
         grid_refresh_samples: int = 1,
+        grid_freeze_after: Optional[int] = None,
         adam_b1: float = 0.9,
         adam_b2: float = 0.999,
         adam_eps: float = 1e-7,
@@ -598,6 +599,7 @@ class OccupancyTrainLoop:
         self.update_interval = update_interval
         self.update_cells = update_cells
         self.grid_refresh_samples = grid_refresh_samples
+        self.grid_freeze_after = grid_freeze_after
         self.mesh = mesh if mesh is not None else default_mesh()
 
         self.ema_decay = ema_decay
@@ -711,8 +713,15 @@ class OccupancyTrainLoop:
                         num_samples=self.grid_refresh_samples,
                     )
 
+                do_refresh = state.step % self.update_interval == 0
+                if self.grid_freeze_after is not None:
+                    # Same freeze rule as _dispatch_step, evaluated on the
+                    # in-scan step counter (static bound -> no recompile).
+                    do_refresh = do_refresh & (
+                        state.step < self.grid_freeze_after
+                    )
                 grid_state = jax.lax.cond(
-                    state.step % self.update_interval == 0,
+                    do_refresh,
                     refresh,
                     lambda gs: gs,
                     grid_state,
@@ -818,7 +827,10 @@ class OccupancyTrainLoop:
         then the pooled-compaction switchover.  The pool budget derives
         from the *assembled global* batch, so multi-host runs pool the
         same total the single-host config implies."""
-        if self._host_step % self.update_interval == 0:
+        if self._host_step % self.update_interval == 0 and (
+            self.grid_freeze_after is None
+            or self._host_step < self.grid_freeze_after
+        ):
             self.grid_state = refresh_grid()
         self._host_step += 1
         batch = self.shard_batch(batch)

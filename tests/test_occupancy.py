@@ -1628,3 +1628,61 @@ def test_grid_refresh_multi_sample():
     # p(single sample hits a 4%-wide slab) ~ 0.04; with 8 samples ~ 0.28.
     assert d8 > d1, (d1, d8)
     assert d8 >= 3, (d1, d8)
+
+
+def test_grid_freeze_after():
+    """--occ_freeze_grid_after: refreshes stop at the freeze step on both
+    the per-step and the scanned dispatch paths (same rule), so the grid
+    stays bit-frozen for the rest of the run."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.train import OccupancyTrainLoop
+
+    def make_loop():
+        model, _ = _small_model_and_params()
+        return OccupancyTrainLoop(
+            model,
+            init_rng=jax.random.PRNGKey(0),
+            lr=1e-3,
+            bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1),
+            candidates=16,
+            samples=8,
+            grid_resolution=8,
+            update_interval=2,
+            grid_warmup_updates=1,
+            grid_freeze_after=4,
+        )
+
+    rng = np.random.RandomState(0)
+    batches = np.stack(
+        [
+            np.concatenate(
+                [_random_rays(16, seed=s), rng.rand(16, 1, 3).astype(np.float32)],
+                axis=1,
+            )
+            for s in range(8)
+        ]
+    )
+    key = jax.random.PRNGKey(5)
+
+    a = make_loop()
+    dens = []
+    for s in range(8):
+        a.step_auto(key, batches[s])
+        dens.append(np.asarray(a.grid_state.densities))
+    # Refreshes fire at steps 0 and 2 (interval 2, freeze at 4): the grid
+    # changes across them, then stays bit-frozen from step 4 on.
+    assert not np.array_equal(dens[1], dens[3])  # refresh at step 2 landed
+    for s in range(4, 8):
+        np.testing.assert_array_equal(dens[s], dens[3])
+
+    # Scanned dispatch applies the same rule: 8 steps in two macro
+    # dispatches end with the identical frozen grid.
+    b = make_loop()
+    for chunk in (batches[:4], batches[4:]):
+        b.step_auto_many(key, chunk)
+    np.testing.assert_array_equal(
+        np.asarray(b.grid_state.densities), dens[-1]
+    )
