@@ -161,7 +161,7 @@ echo QUEUE7 DONE
 # constant-lr 17.02 dB row in BASELINE.md).
 timeout 2400 python -m learn_nerf_tpu.scripts.train_nerf --instant_ngp --batch_size 4096 \
   --lr 1e-2 --seed 0 --occupancy --occ_train_budget 12 --occ_train_budget_start 400 \
-  --lr_schedule cosine --steps 1500 \
+  --lr_schedule cosine --occ_freeze_grid_after 800 --ema 0.99 --steps 1500 \
   --save_path runs/ours_ngp_cosine.pkl runs/scene_train > runs/ours_ngp_cosine.log 2>&1
 sleep 60
 timeout 2400 python -m learn_nerf_tpu.scripts.eval_psnr --batch_size 4096 --instant_ngp --occupancy \
