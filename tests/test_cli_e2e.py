@@ -276,6 +276,12 @@ def test_train_lr_schedule_and_ema_flags(tiny_dataset, tmp_path):
             "--lr", "1e-3",
             "--lr_schedule", "cosine",
             "--ema", "0.99",
+            "--occupancy",
+            "--occ_candidates", "16",
+            "--occ_samples", "8",
+            "--occ_grid", "8",
+            "--occ_refresh_samples", "2",
+            "--occ_freeze_grid_after", "4",
             "--batch_size", "256",
             "--coarse_samples", "8",
             "--fine_samples", "8",
@@ -286,13 +292,18 @@ def test_train_lr_schedule_and_ema_flags(tiny_dataset, tmp_path):
     )
     with open(save_path, "rb") as f:
         payload = pickle.load(f)
-    assert {"coarse", "fine", "background"} <= set(payload)
+    # Occupancy checkpoints carry a single field model + grid state.
+    assert {"fine", "background", "occupancy_densities"} <= set(payload)
 
     out_png = str(tmp_path / "sched.png")
     render_nerf.main(
         [
             "--seed", "0",
             "--batch_size", "128",
+            "--occupancy",
+            "--occ_candidates", "16",
+            "--occ_samples", "8",
+            "--occ_grid", "8",
             "--coarse_samples", "8",
             "--fine_samples", "8",
             "--width", "16",
