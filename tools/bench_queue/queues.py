@@ -1,0 +1,195 @@
+"""Declarative benchmark queues for run_queue.py.
+
+Each item: name (done-marker key), cmd (bash), timeout (s), log (watched
+for stall detection), tpu (False = run under the CPU env, no chip probe),
+retries (extra attempts after a wedge-classified failure).
+
+Round-4 queue = round 3's unrun queue7 (VERDICT #1: baked frame timing,
+verify drive, Ref-NeRF / NGPxRef head-to-heads, pinned-recipe flagship)
+reordered so the fastest, highest-value measurements land first if the
+chip wedges again mid-queue.
+"""
+
+MB = ("python tools/measure_baked.py runs/ours_ngp_long.pkl "
+      "runs/scene_train/metadata.json runs/scene_test/0000.json "
+      "--size 800 --budget 10 --eps 1e-2")
+
+TRAIN = "python -m learn_nerf_tpu.scripts.train_nerf"
+RENDER = "python -m learn_nerf_tpu.scripts.render_nerf"
+EVAL = "python -m learn_nerf_tpu.scripts.eval_psnr"
+CPUPFX = "env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu"
+
+_VERIFY_TRAIN_FLAGS = "--seed 0 --lr 2e-3 --batch_size 1024"
+_OCC_FLAGS = ("--instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 "
+              "--occ_grid 64")
+
+QUEUE_R4 = [
+    # ---- tier 0: minutes each, headline evidence --------------------------
+    dict(name="bench_roofline",
+         cmd="python bench.py > runs/bench_r4.log 2>&1",
+         timeout=3000, log="runs/bench_r4.log"),
+    dict(name="baked_384_512",
+         cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
+         timeout=3600, log="runs/measure_baked.log"),
+    dict(name="baked_combo_p4_c96",
+         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 96 "
+              f"--pack 4 > runs/measure_baked_combo.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_combo.log"),
+    dict(name="baked_combo_p4_c64",
+         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 64 "
+              f"--pack 4 > runs/measure_baked_combo64.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_combo64.log"),
+
+    # ---- tier 1: the /verify end-to-end drive (train+render on chip) ------
+    dict(name="verify_scene_write", tpu=False,
+         cmd=(f"{CPUPFX} python -c \"import sys; sys.path.insert(0, '.');"
+              "from tests.synthetic_scene import write_dataset;"
+              "write_dataset('/tmp/verify_scene', num_views=8, resolution=32)\""
+              " > runs/verify_r4.log 2>&1"),
+         timeout=600),
+    dict(name="verify_train_dense",
+         cmd=(f"{TRAIN} {_VERIFY_TRAIN_FLAGS} --coarse_samples 16 "
+              "--fine_samples 16 --steps 600 --save_path /tmp/verify_nerf.pkl "
+              "/tmp/verify_scene >> runs/verify_r4.log 2>&1"),
+         timeout=1200, log="runs/verify_r4.log"),
+    dict(name="verify_render_dense",
+         cmd=(f"{RENDER} --seed 0 --batch_size 1024 --coarse_samples 16 "
+              "--fine_samples 16 --width 32 --height 32 "
+              "--model_path /tmp/verify_nerf.pkl /tmp/verify_scene/metadata.json "
+              "/tmp/verify_scene/0000.json /tmp/verify_out.png "
+              ">> runs/verify_r4.log 2>&1"),
+         timeout=900, log="runs/verify_r4.log"),
+    dict(name="verify_train_occ",
+         cmd=(f"{TRAIN} {_VERIFY_TRAIN_FLAGS} {_OCC_FLAGS} "
+              "--occ_train_budget auto --occ_train_budget_start 300 --steps 600 "
+              "--save_path /tmp/verify_ngp.pkl /tmp/verify_scene "
+              ">> runs/verify_r4.log 2>&1"),
+         timeout=1200, log="runs/verify_r4.log"),
+    dict(name="verify_render_occ",
+         cmd=(f"{RENDER} --seed 0 --batch_size 1024 {_OCC_FLAGS} "
+              "--occ_budget_per_ray auto --width 32 --height 32 "
+              "--model_path /tmp/verify_ngp.pkl /tmp/verify_scene/metadata.json "
+              "/tmp/verify_scene/0000.json /tmp/verify_occ.png "
+              ">> runs/verify_r4.log 2>&1"),
+         timeout=900, log="runs/verify_r4.log"),
+    dict(name="verify_render_baked",
+         cmd=(f"{RENDER} --seed 0 --batch_size 1024 {_OCC_FLAGS} "
+              "--occ_budget_per_ray auto --baked 128 --baked_pack 2 "
+              "--width 32 --height 32 --model_path /tmp/verify_ngp.pkl "
+              "/tmp/verify_scene/metadata.json /tmp/verify_scene/0000.json "
+              "/tmp/verify_baked.png >> runs/verify_r4.log 2>&1"),
+         timeout=900, log="runs/verify_r4.log"),
+    dict(name="verify_psnr", tpu=False,
+         cmd=(f"{CPUPFX} python -c \""
+              "from PIL import Image\n"
+              "import numpy as np\n"
+              "g = np.asarray(Image.open('/tmp/verify_scene/0000.png')).astype(np.float32)\n"
+              "for n in ('/tmp/verify_out.png','/tmp/verify_occ.png','/tmp/verify_baked.png'):\n"
+              "    p = np.asarray(Image.open(n)).astype(np.float32)\n"
+              "    print('VERIFY', n, 'PSNR', 10*np.log10(255**2/((p-g)**2).mean()))\""
+              " >> runs/verify_r4.log 2>&1"),
+         timeout=300),
+
+    # ---- tier 2: flagship quality rows -------------------------------------
+    dict(name="ngp_scan8_throughput",
+         cmd=(f"{TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
+              "--occupancy --occ_train_budget 12 --occ_train_budget_start 400 "
+              "--steps_per_dispatch 8 --steps 1600 "
+              "--save_path runs/ours_ngp_scan8.pkl runs/scene_train "
+              "> runs/ours_ngp_scan8.log 2>&1"),
+         timeout=1800, log="runs/ours_ngp_scan8.log"),
+    dict(name="ngp_cosine_train",
+         cmd=(f"{TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
+              "--occupancy --occ_train_budget 12 --occ_train_budget_start 400 "
+              "--lr_schedule cosine --occ_freeze_grid_after 800 --ema 0.99 "
+              "--steps 1500 --save_path runs/ours_ngp_cosine.pkl "
+              "runs/scene_train > runs/ours_ngp_cosine.log 2>&1"),
+         timeout=2400, log="runs/ours_ngp_cosine.log"),
+    dict(name="ngp_cosine_eval",
+         cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
+              "--model_path runs/ours_ngp_cosine.pkl runs/scene_test "
+              "> runs/eval_ours_ngp_cosine.log 2>&1"),
+         timeout=2400, log="runs/eval_ours_ngp_cosine.log"),
+
+    # ---- tier 3: Ref-NeRF / NGPxRef head-to-heads (VERDICT #3) --------------
+    dict(name="ours_refnerf_train",
+         cmd=(f"{TRAIN} --ref_nerf --batch_size 4096 --lr 1e-4 --seed 0 "
+              "--occupancy --steps 1500 --save_path runs/ours_refnerf_1500.pkl "
+              "runs/scene_shiny_train > runs/ours_refnerf_1500.log 2>&1"),
+         timeout=3600, log="runs/ours_refnerf_1500.log"),
+    dict(name="ours_ngpref_train",
+         cmd=(f"{TRAIN} --instant_ngp --ref_nerf --batch_size 4096 --lr 1e-2 "
+              "--seed 0 --occupancy --steps 1500 "
+              "--save_path runs/ours_ngpref.pkl runs/scene_shiny_train "
+              "> runs/ours_ngpref.log 2>&1"),
+         timeout=5400, log="runs/ours_ngpref.log"),
+    dict(name="ours_refnerf_eval",
+         cmd=(f"{EVAL} --batch_size 4096 --ref_nerf --occupancy "
+              "--model_path runs/ours_refnerf_1500.pkl runs/scene_shiny_test "
+              "> runs/eval_ours_refnerf_1500.log 2>&1"),
+         timeout=2400, log="runs/eval_ours_refnerf_1500.log"),
+    dict(name="ours_ngpref_eval",
+         cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --ref_nerf --occupancy "
+              "--model_path runs/ours_ngpref.pkl runs/scene_shiny_test "
+              "> runs/eval_ours_ngpref.log 2>&1"),
+         timeout=2400, log="runs/eval_ours_ngpref.log"),
+    dict(name="ref_refnerf_rate",
+         cmd=("python tools/measure_reference.py --ref_nerf --steps 20 "
+              "> runs/measure_ref_refnerf.log 2>&1"),
+         timeout=2400, log="runs/measure_ref_refnerf.log"),
+    dict(name="ref_ngpref_rate",
+         cmd=("python tools/measure_reference.py --instant_ngp --ref_nerf "
+              "--steps 10 > runs/measure_ref_ngpref.log 2>&1"),
+         timeout=3600, log="runs/measure_ref_ngpref.log"),
+    dict(name="ref_refnerf_train",
+         cmd=("python tools/train_reference.py --ref_nerf --batch_size 4096 "
+              "--steps 1500 --lr 1e-4 --save_path runs/ref_refnerf.pkl "
+              "runs/scene_shiny_train > runs/ref_refnerf.log 2>&1"),
+         timeout=10800, log="runs/ref_refnerf.log", stall_secs=2400),
+    dict(name="ref_refnerf_eval",
+         cmd=(f"{EVAL} --batch_size 4096 --ref_nerf "
+              "--model_path runs/ref_refnerf.pkl runs/scene_shiny_test "
+              "> runs/eval_ref_refnerf.log 2>&1"),
+         timeout=3600, log="runs/eval_ref_refnerf.log"),
+
+    # ---- tier 4: blender-protocol converted-scene e2e (VERDICT r2 #4) ------
+    dict(name="blender_standin_make", tpu=False,
+         cmd=("rm -rf runs/blender_capture runs/scene_blender_train "
+              "runs/scene_blender_test && "
+              f"{CPUPFX} python tools/make_blender_standin.py "
+              "runs/blender_capture 64 40 > runs/blender_e2e.log 2>&1 && "
+              f"{CPUPFX} python -m learn_nerf_tpu.convert.blender --split train "
+              "runs/blender_capture runs/scene_blender_train "
+              ">> runs/blender_e2e.log 2>&1 && "
+              f"{CPUPFX} python -m learn_nerf_tpu.convert.blender --split test "
+              "runs/blender_capture runs/scene_blender_test "
+              ">> runs/blender_e2e.log 2>&1"),
+         timeout=1200),
+    dict(name="blender_e2e_train",
+         cmd=(f"{TRAIN} --batch_size 1024 --lr 2e-3 --seed 0 --occupancy "
+              "--occ_candidates 64 --occ_samples 24 --occ_grid 64 --steps 1000 "
+              "--save_path runs/blender_e2e.pkl runs/scene_blender_train "
+              ">> runs/blender_e2e.log 2>&1"),
+         timeout=1800, log="runs/blender_e2e.log"),
+    dict(name="blender_e2e_eval",
+         cmd=(f"{EVAL} --batch_size 4096 --occupancy "
+              "--model_path runs/blender_e2e.pkl runs/scene_blender_test "
+              ">> runs/blender_e2e.log 2>&1"),
+         timeout=1200, log="runs/blender_e2e.log"),
+
+    # ---- tier 5: secondary baked variants ----------------------------------
+    dict(name="baked_span_512",
+         cmd=(f"{MB} --resolutions 512 --span_candidates 64 "
+              "> runs/measure_baked_span.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_span.log"),
+    dict(name="baked_pack2",
+         cmd=(f"{MB} --resolutions 384,512 --pack 2 "
+              "> runs/measure_baked_p2.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_p2.log"),
+    dict(name="baked_256_p8",
+         cmd=(f"{MB} --resolutions 256 --span_candidates 64 --candidates 96 "
+              "--pack 8 > runs/measure_baked_256p8.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_256p8.log"),
+]
+
+QUEUES = {"r4": QUEUE_R4}
