@@ -235,6 +235,29 @@ def superpool_densities(densities: Array, resolution: int, factor: int) -> Array
     return cube.max(axis=(1, 3, 5)).reshape(-1)
 
 
+def dilate_supercells(sup: Array, rs: int) -> Array:
+    """Max-dilate flat ``[rs^3]`` supercell densities by one cell (3^3).
+
+    Used by two-phase span selection so that a probe point landing in a
+    supercell *adjacent* to an occupied one still tests positive.  This is
+    what makes phase-1 conservative for corner-grazing rays: with probe
+    spacing <= half a supercell side, every chord through an occupied
+    supercell — however short — has a probe within a quarter-side of it,
+    i.e. within the dilated neighborhood (occ_render._occupied_span has
+    the full argument).  Same flat layout as :func:`superpool_densities`.
+    """
+    cube = sup.reshape(rs, rs, rs)
+    cube = jax.lax.reduce_window(
+        cube,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(3, 3, 3),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    return cube.reshape(-1)
+
+
 #: Quantized per-ray pool budgets for "auto" modes: resolved budgets snap
 #: up to one of these, so distinct compiled programs are bounded by the
 #: few buckets a run crosses.

@@ -132,6 +132,23 @@ def _reconcile_ema(raw: Any, target: Any) -> Any:
     return raw
 
 
+def peek_train_state_step(path: str) -> int:
+    """Optimizer step counter from a full-state checkpoint, WITHOUT a
+    template (no loop construction needed — the cosine-schedule CLI uses
+    this before it knows the remaining step budget).
+
+    Handles both on-disk layouts: ``TrainLoop.save_full`` serializes the
+    TrainState alone (top-level ``step``); the occupancy loop serializes
+    a ``(state, grid_state)`` tuple, which msgpack stores under keys
+    ``"0"``/``"1"`` — the grid state has its own ``step``, so the tuple
+    case must read element 0, not search for the key.
+    """
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    node = raw if "step" in raw else raw["0"]
+    return int(node["step"])
+
+
 def load_train_state(path: str, template: Any) -> Any:
     """Restore a full train state into the structure of ``template``.
 

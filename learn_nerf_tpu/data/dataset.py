@@ -89,6 +89,7 @@ def load_dataset(directory: str) -> NeRFDataset:
         metadata=ModelMetadata.from_json(os.path.join(directory, "metadata.json")),
         views=[],
     )
+    skipped = []
     for name in sorted(os.listdir(directory)):
         if name.startswith(".") or not name.endswith(".png"):
             continue
@@ -97,12 +98,24 @@ def load_dataset(directory: str) -> NeRFDataset:
         if not os.path.exists(json_path):
             if name.endswith("_depth.png"):
                 continue  # distillation depth companions have no camera
-            # Any OTHER camera-less png is a broken dataset (misnamed or
-            # missing jsons) — silently skipping used to surface as a
-            # confusing empty-iterator failure far downstream.
-            raise FileNotFoundError(
-                f"no camera json for {img_path} (expected {json_path}); "
-                f"rename depth companions *_depth.png or add the json"
-            )
+            # An extra camera-less png (a preview, a render saved next to
+            # the data) is harmless — skip it LOUDLY.  Only an all-broken
+            # directory is an error: silently yielding zero views used to
+            # surface as a confusing empty-iterator failure downstream.
+            skipped.append(name)
+            continue
         dataset.views.append(FileNeRFView.from_json(json_path, image_path=img_path))
+    if skipped:
+        shown = ", ".join(skipped[:5]) + ("..." if len(skipped) > 5 else "")
+        if not dataset.views:
+            raise FileNotFoundError(
+                f"no usable views in {directory}: every png lacks its "
+                f"camera json ({shown}); rename depth companions "
+                f"*_depth.png or add the jsons"
+            )
+        print(
+            f"warning: skipping {len(skipped)} camera-less png(s) in "
+            f"{directory}: {shown}",
+            flush=True,
+        )
     return dataset

@@ -149,27 +149,19 @@ class ShuffledDataset:
         with open(done_path) as f:
             content = f.read().strip()
         if content == "done":
-            # Pre-signature cache (or one written by the reference).
-            # Accept it ONLY if the shard-file count matches exactly:
-            # a legacy cache built with MORE shards than this run would
-            # pass the existence check above and silently serve a
-            # fraction of the dataset forever.
-            host_dir = os.path.dirname(done_path)
-            extra = os.path.join(host_dir, str(len(paths)))
-            if os.path.exists(extra):
-                print(
-                    f"note: legacy shuffle cache {host_dir} has more "
-                    f"shards than num_shards={len(paths)}; rebuilding",
-                    flush=True,
-                )
-                return False
+            # Pre-signature cache (or one written by the reference): its
+            # contents CANNOT be validated against the current dataset, so
+            # rebuild instead of trusting it — the one remaining silent-
+            # staleness path in a layer that otherwise content-signs
+            # everything (VERDICT round 3 #8).  A rebuild costs one
+            # shuffle pass (~92 s for 16M rays); serving a stale cache
+            # costs a silently-wrong training run.
             print(
                 f"note: shuffle cache {done_path} predates content "
-                "signatures; delete the directory to force a rebuild "
-                "if the dataset changed",
+                "signatures and cannot be validated; rebuilding",
                 flush=True,
             )
-            return True
+            return False
         return content == signature
 
     def __enter__(self):

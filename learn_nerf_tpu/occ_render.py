@@ -175,17 +175,29 @@ class OccupancyRenderer:
         """Phase-1 of two-phase selection: tighten ``[t_min, t_max]`` to
         the occupied span per the max-pooled supergrid.
 
-        Conservative by construction (supercell = max over children, span
-        padded by one supercell diagonal); interior holes are harmless —
-        phase-2 candidates inside the span are occupancy-tested against
-        the FULL-resolution grid as usual.  During grid warmup every test
+        Conservative by construction, including for corner-grazing rays
+        whose chord through an occupied supercell is shorter than the
+        probe spacing.  The argument (with supercell side ``s``):
+
+        * probe spacing ``w <= s/2`` (enforced below), so any chord's
+          midpoint has a probe within ``w/2 <= s/4`` along the ray;
+        * the supergrid is max-DILATED by one cell (3^3), so that probe —
+          at most ``s/4`` from a point inside the occupied supercell,
+          hence inside its one-cell neighborhood — tests positive;
+        * the detected first/last probes are therefore within ``3w/2`` of
+          every chord's endpoints, which the half-supercell pad covers.
+
+        Dilation only ever *adds* detections, so interior holes and
+        false-positive neighbors merely widen the span; phase-2
+        candidates inside it are occupancy-tested against the
+        FULL-resolution grid as usual.  During grid warmup every test
         passes, so the span degenerates to the full range (single-phase
         behavior).
 
         :return: ``(t_lo [N], t_hi [N], hit [N] bool)`` — rays with no
             occupied supercell return their original range and hit=False.
         """
-        from .acceleration import superpool_densities
+        from .acceleration import dilate_supercells, superpool_densities
 
         factor = self.span_pool_factor
         if self.grid.resolution % factor:
@@ -213,6 +225,7 @@ class OccupancyRenderer:
         n_coarse = self.span_candidates
         densities = jax.lax.stop_gradient(grid_state.densities)
         sup = superpool_densities(densities, self.grid.resolution, factor)
+        sup = dilate_supercells(sup, rs)  # grazing-ray conservativeness
 
         # Midpoint samples of n_coarse equal bins (deterministic; the
         # conservative pad below covers corner-grazed supercells).
@@ -237,7 +250,9 @@ class OccupancyRenderer:
         bbox_span = jnp.asarray(self.bbox_max, jnp.float32) - jnp.asarray(
             self.bbox_min, jnp.float32
         )
-        pad = (3.0**0.5) * jnp.max(bbox_span) / rs
+        # Half a supercell: covers the <= 3w/2 probe-to-chord-endpoint gap
+        # (w <= s/2) left after dilation — see the docstring's argument.
+        pad = 0.5 * jnp.max(bbox_span) / rs
         t_lo = t_min + first.astype(jnp.float32) * w - pad
         t_hi = t_min + (last.astype(jnp.float32) + 1.0) * w + pad
         t_lo = jnp.maximum(t_lo, t_min)

@@ -152,16 +152,21 @@ def main(argv=None):
         import optax
 
         # optax.adam takes a schedule in place of a float; the optimizer
-        # step count drives it, so full-state resumes continue the decay
-        # natively.  A params-PICKLE auto-resume starts a fresh optimizer
-        # (count 0) — without an offset the schedule would restart at the
-        # peak lr on near-converged params, the exact excursion this flag
-        # exists to prevent — so peek the pickle's step counter and shift.
+        # step count drives it, so a full-state resume continues the decay
+        # natively (no offset).  A params-PICKLE auto-resume starts a
+        # fresh optimizer (count 0) — without an offset the schedule would
+        # restart at the peak lr on near-converged params, the exact
+        # excursion this flag exists to prevent — so peek the pickle's
+        # step counter and shift.  BOTH resume paths cap args.steps.
         resume_step = 0
         will_full_resume = args.full_state_path and os.path.exists(
             args.full_state_path
         )
-        if not will_full_resume and os.path.exists(args.save_path):
+        if will_full_resume:
+            from ..checkpoint import peek_train_state_step
+
+            resume_step = peek_train_state_step(args.full_state_path)
+        elif os.path.exists(args.save_path):
             import pickle
 
             with open(args.save_path, "rb") as f:
@@ -191,7 +196,13 @@ def main(argv=None):
                 print("nothing to do: the checkpoint already covers --steps")
                 return
             args.steps = remaining
-            lr = lambda count: base_schedule(count + resume_step)
+            # The restored optimizer count already sits at resume_step on
+            # a full-state resume — offsetting there would double-count.
+            lr = (
+                base_schedule
+                if will_full_resume
+                else lambda count: base_schedule(count + resume_step)
+            )
         else:
             lr = base_schedule
     else:

@@ -890,15 +890,31 @@ class OccupancyTrainLoop:
         device dispatch — ``lax.scan`` inside the jit.  Semantically
         identical to K :meth:`step_auto` calls when the loop's host
         counter equals the optimizer step (fresh runs / full-state
-        resumes; the pickle-resume path syncs the counter too).  The
-        pooled-vs-dense choice and the auto budget hold for the whole
-        macro step (the budget re-measure cadence rounds up to macro
-        boundaries).  Returns the LAST step's logging dict.
+        resumes; the pickle-resume path syncs the counter too).  A macro
+        that straddles ``pool_start_step`` is split at the boundary into
+        a dense dispatch and a pooled one — one extra dispatch (and
+        compile shape), exact per-step switchover semantics even when
+        ``pool_start_step`` is not macro-aligned (ADVICE round 3).  The
+        auto budget holds for the whole macro step (the budget re-measure
+        cadence rounds up to macro boundaries).  Returns the LAST step's
+        logging dict.
 
         :param batches: ``[k, N, 3, 3]`` stacked ray batches.
         """
         batches = self.shard_batches(batches)
         k = batches.shape[0]
+        if (
+            self.pool_budget_per_ray is not None
+            and self._host_step < self.pool_start_step < self._host_step + k
+        ):
+            split = self.pool_start_step - self._host_step
+            self._step_auto_many_sharded(base_key, batches[:split])
+            return self._step_auto_many_sharded(base_key, batches[split:])
+        return self._step_auto_many_sharded(base_key, batches)
+
+    def _step_auto_many_sharded(
+        self, base_key: jax.Array, batches: Array
+    ) -> Dict[str, Array]:
         if (
             self.pool_budget_per_ray is not None
             and self._host_step >= self.pool_start_step
@@ -909,7 +925,7 @@ class OccupancyTrainLoop:
         self.state, self.grid_state, values = self._scan_step_fn(
             self.state, self.grid_state, budget, base_key, batches
         )
-        self._host_step += k
+        self._host_step += int(batches.shape[0])
         return values
 
     def eval_losses(self, key: jax.Array, batch: Array) -> Dict[str, Array]:

@@ -368,6 +368,60 @@ def test_cosine_pickle_resume_continues_schedule(tiny_dataset, tmp_path, capsys)
     assert "nothing to do" in out
 
 
+@pytest.mark.parametrize("occupancy", [False, True])
+def test_cosine_full_state_resume_caps_steps(
+    tiny_dataset, tmp_path, capsys, occupancy
+):
+    """--steps is the TOTAL decay span on the FULL-STATE resume path too:
+    resuming an 8-step full-state checkpoint with --steps 12 trains 4
+    more steps (ADVICE round 3 — it used to train 12 MORE, overshooting
+    the decay span at the floor lr).  No schedule offset here: the
+    restored optimizer count drives the schedule natively.  Covers both
+    full-state layouts (plain TrainState; occupancy (state, grid) tuple)
+    through checkpoint.peek_train_state_step."""
+    import pickle
+
+    from learn_nerf_tpu.scripts import train_nerf
+
+    save_path = str(tmp_path / "resume.pkl")
+    full_path = str(tmp_path / "resume.state")
+    extra = (
+        ["--occupancy", "--occ_candidates", "16", "--occ_samples", "8",
+         "--occ_grid", "16"]
+        if occupancy
+        else ["--coarse_samples", "8", "--fine_samples", "8"]
+    )
+
+    def args(steps):
+        return [
+            "--seed", "0",
+            "--lr", "1e-3",
+            "--lr_schedule", "cosine",
+            "--batch_size", "256",
+            "--steps", str(steps),
+            "--save_path", save_path,
+            "--full_state_path", full_path,
+            *extra,
+            tiny_dataset,
+        ]
+
+    train_nerf.main(args(8))
+    from learn_nerf_tpu.checkpoint import peek_train_state_step
+
+    assert peek_train_state_step(full_path) == 8
+    capsys.readouterr()
+    train_nerf.main(args(12))
+    out = capsys.readouterr().out
+    assert "cosine schedule resumes at step 8; 4 of 12 total steps" in out
+    assert peek_train_state_step(full_path) == 12
+    with open(save_path, "rb") as f:
+        key = "occupancy_host_step" if occupancy else "train_host_step"
+        assert int(pickle.load(f)[key]) == 12
+    # Same command again: budget covered -> clean no-op.
+    train_nerf.main(args(12))
+    assert "nothing to do" in capsys.readouterr().out
+
+
 def test_steps_per_dispatch_hierarchy(tiny_dataset, tmp_path):
     """--steps_per_dispatch works for the dense hierarchy too (it was
     occupancy-only at first); a partial final macro still stops at

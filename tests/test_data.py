@@ -236,17 +236,21 @@ def test_shuffle_cache_invalidates_on_change():
             n8 = np.concatenate(list(sd.iterate_batches(16))).shape[0]
         assert n8 == n3
 
-        # A legacy "done" marker (pre-signature cache) is still accepted.
+        # A legacy "done" marker (pre-signature cache) cannot be validated
+        # against the current dataset: it REBUILDS rather than silently
+        # serving possibly-stale shards (VERDICT round 3 #8).  The rebuilt
+        # cache serves data2's rays even though the marked shards held
+        # data3's.
         with open(os.path.join(tmp, "done"), "w") as f:
             f.write("done\n")
         with ShuffledDataset(tmp, data2, seed=0, num_shards=8) as sd:
-            # Served from the (legacy-marked) existing shards: data3 rows.
             n_legacy = np.concatenate(list(sd.iterate_batches(16))).shape[0]
-        assert n_legacy == n3
+        assert n_legacy == n2
 
-        # ... but a legacy marker whose shard files are missing (cache
-        # built with fewer shards: only 0..7 exist here) rebuilds instead
-        # of crashing on open.
+        # Same with shard files missing (cache built with fewer shards):
+        # rebuilds instead of crashing on open.
+        with open(os.path.join(tmp, "done"), "w") as f:
+            f.write("done\n")
         with ShuffledDataset(tmp, data2, seed=0, num_shards=16) as sd:
             n_rebuilt = np.concatenate(list(sd.iterate_batches(16))).shape[0]
         assert n_rebuilt == n2
@@ -305,28 +309,80 @@ def test_shuffle_cache_invalidates_on_pose_change():
     assert sig_a != _cache_signature([view((0.0, 0.1, -3.0))], 4, 1)
 
 
-def test_legacy_cache_with_more_shards_rebuilds(tmp_path):
-    """A pre-signature 'done' marker is accepted only when the shard-file
-    count matches exactly: a legacy cache built with MORE shards would
-    otherwise silently serve a fraction of the dataset forever."""
+def test_legacy_cache_always_rebuilds(tmp_path):
+    """A pre-signature 'done' marker can never be validated against the
+    current dataset, so it always rebuilds — even with an exactly-matching
+    shard-file count (VERDICT round 3 #8 closed the last acceptance
+    path)."""
     import os
 
     from learn_nerf_tpu.data.shuffle import ShuffledDataset
 
     d = str(tmp_path)
-    # Fabricate a legacy cache: 4 shard files + bare 'done', but the new
-    # run wants num_shards=2 -> shard file "2" exists -> must rebuild.
     for i in range(4):
         with open(os.path.join(d, str(i)), "wb"):
             pass
     with open(os.path.join(d, "done"), "w") as f:
         f.write("done")
+    # More shard files than this run wants: rebuild.
     assert not ShuffledDataset._cache_valid(
         os.path.join(d, "done"), "sig", [os.path.join(d, str(i)) for i in range(2)]
     )
-    # Exact count: accepted (with the can't-validate note).
+    # Exact count: STILL a rebuild (contents unverifiable).
     os.remove(os.path.join(d, "2"))
     os.remove(os.path.join(d, "3"))
+    assert not ShuffledDataset._cache_valid(
+        os.path.join(d, "done"), "sig", [os.path.join(d, str(i)) for i in range(2)]
+    )
+    # A current signature-bearing marker is accepted.
+    with open(os.path.join(d, "done"), "w") as f:
+        f.write("sig\n")
     assert ShuffledDataset._cache_valid(
         os.path.join(d, "done"), "sig", [os.path.join(d, str(i)) for i in range(2)]
     )
+
+
+def test_load_dataset_skips_extra_cameraless_png(tmp_path, capsys):
+    """An innocuous extra PNG (preview, render output saved next to the
+    data) loads with a loud warning, not a hard failure; a directory
+    where EVERY png lacks its camera is still an error (the actual
+    empty-iterator failure the check targets)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic_scene import write_dataset
+
+    from learn_nerf_tpu.data.dataset import load_dataset
+
+    d = str(tmp_path / "scene")
+    write_dataset(d, num_views=2, resolution=8)
+    from PIL import Image
+
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+        os.path.join(d, "preview.png")
+    )
+    data = load_dataset(d)
+    assert len(data.views) == 2
+    out = capsys.readouterr().out
+    assert "preview.png" in out and "warning" in out
+
+    # Depth companions stay silently skipped (distillation datasets).
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+        os.path.join(d, "0000_depth.png")
+    )
+    assert len(load_dataset(d).views) == 2
+
+    # All-camera-less directory: error, not zero views.
+    broken = str(tmp_path / "broken")
+    os.makedirs(broken)
+    import json as _json
+
+    with open(os.path.join(broken, "metadata.json"), "w") as f:
+        _json.dump(dict(min=[-1] * 3, max=[1] * 3), f)
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+        os.path.join(broken, "0000.png")
+    )
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no usable views"):
+        load_dataset(broken)

@@ -1091,26 +1091,36 @@ def test_step_auto_many_matches_per_step():
     for chunk in (batches[:4], batches[4:]):
         vals = b.step_auto_many(base_key, chunk)
 
-    assert a._host_step == b._host_step == steps
-    assert int(a.state.step) == int(b.state.step) == steps
-    jax.tree_util.tree_map(
-        lambda x, y: np.testing.assert_allclose(
-            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7
-        ),
-        jax.device_get(a.state.params),
-        jax.device_get(b.state.params),
-    )
-    np.testing.assert_allclose(
-        np.asarray(a.grid_state.densities),
-        np.asarray(b.grid_state.densities),
-        rtol=1e-6,
-    )
-    assert int(a.grid_state.step) == int(b.grid_state.step)
-    for name in last:
-        np.testing.assert_allclose(
-            float(last[name]), float(vals[name]), rtol=1e-5,
-            err_msg=name,
+    # MISALIGNED macros: pool_start_step=4 inside a [3, 5] chunking — the
+    # straddling macro must split at the boundary so the pooled
+    # switchover happens at exactly step 4, not the next macro boundary
+    # (ADVICE round 3).
+    c = make_loop()
+    vals_c = None
+    for chunk in (batches[:3], batches[3:]):
+        vals_c = c.step_auto_many(base_key, chunk)
+
+    for other, other_vals in ((b, vals), (c, vals_c)):
+        assert a._host_step == other._host_step == steps
+        assert int(a.state.step) == int(other.state.step) == steps
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7
+            ),
+            jax.device_get(a.state.params),
+            jax.device_get(other.state.params),
         )
+        np.testing.assert_allclose(
+            np.asarray(a.grid_state.densities),
+            np.asarray(other.grid_state.densities),
+            rtol=1e-6,
+        )
+        assert int(a.grid_state.step) == int(other.grid_state.step)
+        for name in last:
+            np.testing.assert_allclose(
+                float(last[name]), float(other_vals[name]), rtol=1e-5,
+                err_msg=name,
+            )
 
 
 def test_frame_session_auto_escalates_on_underestimate(monkeypatch, capsys):
@@ -1297,6 +1307,67 @@ def test_two_phase_span_finds_single_cell():
         assert int(occ.sum()) >= 1, (
             f"trial {trial}: occupied cell {cell} lost by two-phase selection"
         )
+
+
+def test_two_phase_span_covers_corner_grazing_chord():
+    """Conservation stress for GRAZING rays: a ray that clips only the
+    corner of an occupied supercell — chord much shorter than the probe
+    spacing, every probe midpoint landing in *empty* neighbors — must
+    still get a span covering the chord.  This is exactly the case the
+    supergrid max-dilation exists for; without it the probes straddle the
+    chord and the ray renders as background."""
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    r, factor = 64, 8
+    rs = r // factor
+    s = 2.0 / rs  # supercell side, bbox [-1, 1]^3
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=r)
+    renderer = OccupancyRenderer(
+        model=None, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=96, samples=16, span_candidates=32, span_pool_factor=factor,
+    )
+    delta = 0.01  # chord length delta*sqrt(2) ~ 0.014 << probe spacing
+    for sc in [(4, 4, 3), (5, 2, 6), (2, 6, 1)]:
+        # Occupy every fine cell of supercell sc (x, y, z indices).
+        densities = np.zeros((r, r, r), np.float32)  # [z, y, x]
+        densities[
+            sc[2] * factor:(sc[2] + 1) * factor,
+            sc[1] * factor:(sc[1] + 1) * factor,
+            sc[0] * factor:(sc[0] + 1) * factor,
+        ] = 1.0
+        gs = grid.init().replace(
+            densities=jnp.asarray(densities.reshape(-1)),
+            step=jnp.asarray(grid.warmup_updates, jnp.int32),
+        )
+        # Ray direction (1,-1,0)/sqrt(2) clipping the (max-x, max-y)
+        # corner of the supercell: on the line x+y = const the chord
+        # inside the cell is the tiny corner triangle of size delta.
+        xmax = -1.0 + (sc[0] + 1) * s
+        ymax = -1.0 + (sc[1] + 1) * s
+        zmid = -1.0 + (sc[2] + 0.5) * s
+        mid = np.asarray([xmax - delta / 2, ymax - delta / 2, zmid], np.float32)
+        d = np.asarray([1.0, -1.0, 0.0], np.float32) / np.sqrt(2.0)
+        origin = mid - 2.5 * d
+        half_chord = delta * np.sqrt(2.0) / 2.0
+        t_in, t_out = 2.5 - half_chord, 2.5 + half_chord
+
+        from learn_nerf_tpu.ops.geometry import ray_bbox_range
+
+        t_min, t_max, inb = ray_bbox_range(
+            jnp.asarray(origin)[None], jnp.asarray(d)[None],
+            jnp.asarray([-1.0, -1.0, -1.0]), jnp.asarray([1.0, 1.0, 1.0]),
+            renderer.min_t_range,
+        )
+        assert bool(inb[0])
+        t_lo, t_hi, hit = renderer._occupied_span(
+            jnp.asarray(origin)[None], jnp.asarray(d)[None], t_min, t_max, gs
+        )
+        assert bool(hit[0]), f"supercell {sc}: grazing chord not detected"
+        assert float(t_lo[0]) <= t_in, (sc, float(t_lo[0]), t_in)
+        assert float(t_hi[0]) >= t_out, (sc, float(t_hi[0]), t_out)
 
 
 def test_two_phase_span_rejects_undersized_probe_count():
