@@ -119,3 +119,16 @@ QUEUES = {{"t": [
     assert counts.read_text().splitlines() == ["one", "two", "three", "two"]
     lst = run("--list")
     assert "FAIL  two" in lst.stdout and "DONE  one" in lst.stdout
+
+    # STOP sentinel: a rerun drains immediately, executing nothing (used
+    # to free the chip for the driver's round-end bench without killing a
+    # mid-train item).
+    state_root = tmp_path.parent / "runs" / "queue_state"  # REPO=qdir/../..
+    stop = state_root / "STOP"
+    stop.write_text("")
+    try:
+        r4 = run("--retry-failed")
+        assert "STOP sentinel" in r4.stdout
+        assert counts.read_text().splitlines() == ["one", "two", "three", "two"]
+    finally:
+        stop.unlink()

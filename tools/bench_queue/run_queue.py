@@ -160,6 +160,8 @@ def probe_chip(probe_timeout=900, sleep_between=30, max_attempts=None):
     attempt = 0
     while True:
         attempt += 1
+        if os.path.exists(os.path.join(STATE_ROOT, "STOP")):
+            raise SystemExit("STOP sentinel present; abandoning chip probe")
         cmd = f"python -c {shlex.quote(PROBE_SRC)} > /tmp/queue_probe.log 2>&1"
         rc, _ = _run_with_timeout(cmd, _tpu_env(), probe_timeout)
         ok = rc == 0
@@ -280,8 +282,16 @@ def main(argv=None):
     lock = acquire_lock(state_dir)
     try:
         os.chdir(REPO)
+        stop_sentinel = os.path.join(STATE_ROOT, "STOP")
         n_done = n_fail = n_skip = 0
         for it in items:
+            if os.path.exists(stop_sentinel):
+                # Graceful drain: finish nothing more, release the chip
+                # (e.g. ahead of the driver's round-end bench.py run,
+                # which would otherwise queue behind a 1500-step train).
+                _log(f"STOP sentinel {stop_sentinel} present; exiting "
+                     f"before item {it['name']}")
+                break
             done = os.path.join(state_dir, f"{it['name']}.done")
             fail = os.path.join(state_dir, f"{it['name']}.fail")
             if os.path.exists(done):
