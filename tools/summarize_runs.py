@@ -99,6 +99,11 @@ def main():
             "ours_ngp_cosine",
             "eval_ours_ngp_cosine",
         ),
+        (
+            "blender-protocol converted scene (ours, occupancy)",
+            "blender_e2e",
+            "blender_e2e",
+        ),
         ("reference Ref-NeRF (dense 64c+192f)", "ref_refnerf", "eval_ref_refnerf"),
         ("ours Ref-NeRF + occupancy", "ours_refnerf_1500", "eval_ours_refnerf_1500"),
         ("ours NGP x Ref-NeRF + occupancy", "ours_ngpref", "eval_ours_ngpref"),
