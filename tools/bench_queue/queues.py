@@ -27,7 +27,9 @@ QUEUE_R4 = [
     # ---- tier 0: minutes each, headline evidence --------------------------
     dict(name="bench_roofline",
          cmd="python bench.py > runs/bench_r4.log 2>&1",
-         timeout=3000, log="runs/bench_r4.log"),
+         # 5 configs (occupancy/pooled/parity/vanilla/bf16), each with a
+         # cold ~2-5 min remote compile: budget generously.
+         timeout=4200, log="runs/bench_r4.log"),
     dict(name="baked_384_512",
          cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
          timeout=3600, log="runs/measure_baked.log"),
@@ -51,7 +53,7 @@ QUEUE_R4 = [
          cmd=(f"{TRAIN} {_VERIFY_TRAIN_FLAGS} --coarse_samples 16 "
               "--fine_samples 16 --steps 600 --save_path /tmp/verify_nerf.pkl "
               "/tmp/verify_scene >> runs/verify_r4.log 2>&1"),
-         timeout=1200, log="runs/verify_r4.log"),
+         timeout=1200, stall_secs=900, log="runs/verify_r4.log"),
     dict(name="verify_render_dense",
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 --coarse_samples 16 "
               "--fine_samples 16 --width 32 --height 32 "
@@ -64,7 +66,7 @@ QUEUE_R4 = [
               "--occ_train_budget auto --occ_train_budget_start 300 --steps 600 "
               "--save_path /tmp/verify_ngp.pkl /tmp/verify_scene "
               ">> runs/verify_r4.log 2>&1"),
-         timeout=1200, log="runs/verify_r4.log"),
+         timeout=1200, stall_secs=900, log="runs/verify_r4.log"),
     dict(name="verify_render_occ",
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 {_OCC_FLAGS} "
               "--occ_budget_per_ray auto --width 32 --height 32 "
@@ -97,14 +99,14 @@ QUEUE_R4 = [
               "--steps_per_dispatch 8 --steps 1600 "
               "--save_path runs/ours_ngp_scan8.pkl runs/scene_train "
               "> runs/ours_ngp_scan8.log 2>&1"),
-         timeout=1800, log="runs/ours_ngp_scan8.log"),
+         timeout=1800, stall_secs=1500, log="runs/ours_ngp_scan8.log"),
     dict(name="ngp_cosine_train",
          cmd=(f"{TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
               "--occupancy --occ_train_budget 12 --occ_train_budget_start 400 "
               "--lr_schedule cosine --occ_freeze_grid_after 800 --ema 0.99 "
               "--steps 1500 --save_path runs/ours_ngp_cosine.pkl "
               "runs/scene_train > runs/ours_ngp_cosine.log 2>&1"),
-         timeout=2400, log="runs/ours_ngp_cosine.log"),
+         timeout=2400, stall_secs=1500, log="runs/ours_ngp_cosine.log"),
     dict(name="ngp_cosine_eval",
          cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
               "--model_path runs/ours_ngp_cosine.pkl runs/scene_test "
@@ -116,13 +118,13 @@ QUEUE_R4 = [
          cmd=(f"{TRAIN} --ref_nerf --batch_size 4096 --lr 1e-4 --seed 0 "
               "--occupancy --steps 1500 --save_path runs/ours_refnerf_1500.pkl "
               "runs/scene_shiny_train > runs/ours_refnerf_1500.log 2>&1"),
-         timeout=3600, log="runs/ours_refnerf_1500.log"),
+         timeout=3600, stall_secs=1800, log="runs/ours_refnerf_1500.log"),
     dict(name="ours_ngpref_train",
          cmd=(f"{TRAIN} --instant_ngp --ref_nerf --batch_size 4096 --lr 1e-2 "
               "--seed 0 --occupancy --steps 1500 "
               "--save_path runs/ours_ngpref.pkl runs/scene_shiny_train "
               "> runs/ours_ngpref.log 2>&1"),
-         timeout=5400, log="runs/ours_ngpref.log"),
+         timeout=5400, stall_secs=1800, log="runs/ours_ngpref.log"),
     dict(name="ours_refnerf_eval",
          cmd=(f"{EVAL} --batch_size 4096 --ref_nerf --occupancy "
               "--model_path runs/ours_refnerf_1500.pkl runs/scene_shiny_test "
@@ -170,7 +172,7 @@ QUEUE_R4 = [
               "--occ_candidates 64 --occ_samples 24 --occ_grid 64 --steps 1000 "
               "--save_path runs/blender_e2e.pkl runs/scene_blender_train "
               ">> runs/blender_e2e.log 2>&1"),
-         timeout=1800, log="runs/blender_e2e.log"),
+         timeout=1800, stall_secs=1500, log="runs/blender_e2e.log"),
     dict(name="blender_e2e_eval",
          cmd=(f"{EVAL} --batch_size 4096 --occupancy "
               "--model_path runs/blender_e2e.pkl runs/scene_blender_test "

@@ -209,9 +209,14 @@ def run_item(item, state_dir, cooldown=45):
         _log(f"item {name}: attempt {attempt} starting "
              f"(timeout {item['timeout']}s, log {log_path or '-'})")
         t0 = time.time()
+        # stall_secs is OPT-IN per item: remote compiles are quiet with
+        # ~zero local CPU for minutes (the compile runs on the far end),
+        # so a default-on stall kill would shoot healthy long-compile
+        # items (bench, measure_baked).  Only items that log frequently
+        # once running (train loops) set it.
         rc, reason = _run_with_timeout(
             item["cmd"], env, item["timeout"], log_path=log_path,
-            stall_secs=item.get("stall_secs", 1500) if item.get("tpu", True) else None,
+            stall_secs=item.get("stall_secs") if item.get("tpu", True) else None,
         )
         secs = time.time() - t0
         if rc == 0:
