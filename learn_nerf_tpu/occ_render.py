@@ -30,6 +30,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .acceleration import OccupancyGrid, OccupancyGridState, compact_occupied_strided
 from .models.base import FieldModel
@@ -177,15 +178,20 @@ class OccupancyRenderer:
 
         Conservative by construction, including for corner-grazing rays
         whose chord through an occupied supercell is shorter than the
-        probe spacing.  The argument (with supercell side ``s``):
+        probe spacing, and for anisotropic bboxes.  The argument (with
+        ``s`` = the SHORTEST supercell side):
 
-        * probe spacing ``w <= s/2`` (enforced below), so any chord's
-          midpoint has a probe within ``w/2 <= s/4`` along the ray;
+        * probe spacing ``w <= s/2`` (enforced below via the bbox
+          diagonal and the min axis), so any chord's midpoint has a
+          probe within ``w/2 <= s/4`` along the ray — within a quarter
+          of every axis's supercell side;
         * the supergrid is max-DILATED by one cell (3^3), so that probe —
-          at most ``s/4`` from a point inside the occupied supercell,
-          hence inside its one-cell neighborhood — tests positive;
+          at most a quarter-side from a point inside the occupied
+          supercell along each axis, hence inside its one-cell
+          neighborhood — tests positive;
         * the detected first/last probes are therefore within ``3w/2`` of
-          every chord's endpoints, which the half-supercell pad covers.
+          every chord's endpoints, so their bin boundaries are within
+          ``w`` — which the one-bin pad covers exactly.
 
         Dilation only ever *adds* detections, so interior holes and
         false-positive neighbors merely widen the span; phase-2
@@ -206,18 +212,29 @@ class OccupancyRenderer:
                 f"resolution {self.grid.resolution}"
             )
         rs = self.grid.resolution // factor
-        needed = math.ceil(2.0 * (3.0**0.5) * rs)
+        # Conservativeness precondition: probe spacing <= half the
+        # SHORTEST supercell side, over the worst-case bbox-diagonal ray
+        # (spacing <= diag/n).  The dilation argument (docstring) needs
+        # the probe within a quarter of the shortest side of a chord
+        # point along EVERY axis; deriving from the max side — the
+        # natural cubic shortcut — would quietly break conservation on
+        # anisotropic (e.g. LLFF-style) bboxes.  Reduces to
+        # ceil(2*sqrt(3)*rs) for a cubic bbox.
+        span = np.asarray(self.bbox_max, np.float64) - np.asarray(
+            self.bbox_min, np.float64
+        )
+        diag = float(np.linalg.norm(span))
+        needed = math.ceil(2.0 * diag * rs / float(span.min()))
         if self.span_candidates < needed:
-            # Enforce the conservativeness precondition (midpoint spacing
-            # <= half a supercell over the worst-case bbox-diagonal ray);
-            # an undersized probe count would silently skip thin occupied
+            # An undersized probe count would silently skip thin occupied
             # supercells and render those rays as background — a silent
             # cap, which this renderer forbids.  The grid resolution comes
             # from the checkpoint, so tell the user both levers.
             raise ValueError(
                 f"occ_span_candidates={self.span_candidates} is too few "
                 f"probes for a {rs}^3 supergrid (occupancy grid "
-                f"{self.grid.resolution}, span_pool_factor {factor}): "
+                f"{self.grid.resolution}, span_pool_factor {factor}, "
+                f"bbox span {tuple(span.tolist())}): "
                 f"need >= {needed} to guarantee no occupied supercell is "
                 f"skipped. Raise --occ_span_candidates or raise "
                 f"--occ_span_pool_factor."
@@ -247,12 +264,11 @@ class OccupancyRenderer:
         first = jnp.argmax(occ, axis=1)  # first occupied bin
         last = n_coarse - 1 - jnp.argmax(occ[:, ::-1], axis=1)
         w = (t_max - t_min) / n_coarse
-        bbox_span = jnp.asarray(self.bbox_max, jnp.float32) - jnp.asarray(
-            self.bbox_min, jnp.float32
-        )
-        # Half a supercell: covers the <= 3w/2 probe-to-chord-endpoint gap
-        # (w <= s/2) left after dilation — see the docstring's argument.
-        pad = 0.5 * jnp.max(bbox_span) / rs
+        # One bin width of pad is exactly sufficient after dilation: the
+        # first detected probe sits <= 3w/2 past any chord's entry, so its
+        # bin START is <= entry + w (symmetric at the far end) — see the
+        # docstring's argument.  Per-ray (w varies with the bbox range).
+        pad = w
         t_lo = t_min + first.astype(jnp.float32) * w - pad
         t_hi = t_min + (last.astype(jnp.float32) + 1.0) * w + pad
         t_lo = jnp.maximum(t_lo, t_min)

@@ -1250,9 +1250,11 @@ def test_two_phase_span_selection_matches_single_phase():
         key, rays, params, background, grid_state, budget=n * 24
     )
     # Different candidate placement -> not bit-equal; the composited
-    # slab color must agree closely on this smooth model.
+    # slab color must agree closely on this smooth model (the tolerance
+    # absorbs stratified-placement noise from the span width, which the
+    # dilation/pad scheme legitimately changes).
     np.testing.assert_allclose(
-        np.asarray(out2["outputs"]), np.asarray(out1["outputs"]), atol=0.03
+        np.asarray(out2["outputs"]), np.asarray(out1["outputs"]), atol=0.05
     )
 
     # A ray that misses the slab entirely (enters above it) composites to
@@ -1368,6 +1370,76 @@ def test_two_phase_span_covers_corner_grazing_chord():
         assert bool(hit[0]), f"supercell {sc}: grazing chord not detected"
         assert float(t_lo[0]) <= t_in, (sc, float(t_lo[0]), t_in)
         assert float(t_hi[0]) >= t_out, (sc, float(t_hi[0]), t_out)
+
+
+def test_two_phase_span_anisotropic_bbox():
+    """On a non-cubic bbox the probe-count precondition must scale with
+    the SHORTEST supercell side (deriving it from the max side quietly
+    breaks conservation on LLFF-style flat boxes), and corner-grazing
+    conservation must still hold."""
+    import jax.numpy as jnp
+    import pytest
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+    from learn_nerf_tpu.ops.geometry import ray_bbox_range
+
+    r, factor = 64, 8
+    rs = r // factor
+    bmin, bmax = (-1.0, -1.0, -0.25), (1.0, 1.0, 0.25)
+    grid = OccupancyGrid(bbox_min=bmin, bbox_max=bmax, resolution=r)
+
+    def renderer(span):
+        return OccupancyRenderer(
+            model=None, grid=grid, bbox_min=bmin, bbox_max=bmax,
+            candidates=96, samples=16, span_candidates=span,
+            span_pool_factor=factor,
+        )
+
+    # The cubic-formula count (2*sqrt(3)*rs ~ 28) is NOT enough here:
+    # diag/min_span = 2.87/0.5 -> need >= 92 probes.
+    too_few = renderer(32)
+    with pytest.raises(ValueError, match="occ_span_candidates"):
+        too_few._occupied_span(
+            jnp.zeros((1, 3)), jnp.asarray([[1.0, 0.0, 0.0]]),
+            jnp.zeros(1), jnp.ones(1),
+            grid.init(),
+        )
+
+    rend = renderer(96)
+    sx, sy = 2.0 / rs, 2.0 / rs
+    delta = 0.01
+    densities = np.zeros((r, r, r), np.float32)  # [z, y, x]
+    sc = (4, 4, 3)
+    densities[
+        sc[2] * factor:(sc[2] + 1) * factor,
+        sc[1] * factor:(sc[1] + 1) * factor,
+        sc[0] * factor:(sc[0] + 1) * factor,
+    ] = 1.0
+    gs = grid.init().replace(
+        densities=jnp.asarray(densities.reshape(-1)),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+    xmax = -1.0 + (sc[0] + 1) * sx
+    ymax = -1.0 + (sc[1] + 1) * sy
+    zmid = -0.25 + (sc[2] + 0.5) * (0.5 / rs)
+    mid = np.asarray([xmax - delta / 2, ymax - delta / 2, zmid], np.float32)
+    d = np.asarray([1.0, -1.0, 0.0], np.float32) / np.sqrt(2.0)
+    origin = mid - 1.5 * d
+    half_chord = delta * np.sqrt(2.0) / 2.0
+    t_in, t_out = 1.5 - half_chord, 1.5 + half_chord
+
+    t_min, t_max, inb = ray_bbox_range(
+        jnp.asarray(origin)[None], jnp.asarray(d)[None],
+        jnp.asarray(bmin), jnp.asarray(bmax), rend.min_t_range,
+    )
+    assert bool(inb[0])
+    t_lo, t_hi, hit = rend._occupied_span(
+        jnp.asarray(origin)[None], jnp.asarray(d)[None], t_min, t_max, gs
+    )
+    assert bool(hit[0])
+    assert float(t_lo[0]) <= t_in
+    assert float(t_hi[0]) >= t_out
 
 
 def test_two_phase_span_rejects_undersized_probe_count():

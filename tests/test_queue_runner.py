@@ -88,8 +88,11 @@ def test_lock_rejects_live_holder_and_reclaims_stale(tmp_path):
 
 def test_end_to_end_resume_via_cli(tmp_path, monkeypatch):
     """Run a 3-item queue, fail the middle item, rerun: only it retries."""
-    qdir = tmp_path / "q"
-    qdir.mkdir()
+    # Two levels deep so the runner's derived repo root (three dirname()s
+    # up from its own file) stays INSIDE tmp_path — its runs/queue_state
+    # tree must not leak into pytest's session-shared basetemp.
+    qdir = tmp_path / "repo" / "tools" / "q"
+    qdir.mkdir(parents=True)
     counts = tmp_path / "counts"
     spec = f"""
 QUEUES = {{"t": [
@@ -123,12 +126,8 @@ QUEUES = {{"t": [
     # STOP sentinel: a rerun drains immediately, executing nothing (used
     # to free the chip for the driver's round-end bench without killing a
     # mid-train item).
-    state_root = tmp_path.parent / "runs" / "queue_state"  # REPO=qdir/../..
-    stop = state_root / "STOP"
+    stop = tmp_path / "repo" / "runs" / "queue_state" / "STOP"
     stop.write_text("")
-    try:
-        r4 = run("--retry-failed")
-        assert "STOP sentinel" in r4.stdout
-        assert counts.read_text().splitlines() == ["one", "two", "three", "two"]
-    finally:
-        stop.unlink()
+    r4 = run("--retry-failed")
+    assert "STOP sentinel" in r4.stdout
+    assert counts.read_text().splitlines() == ["one", "two", "three", "two"]

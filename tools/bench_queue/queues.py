@@ -50,7 +50,7 @@ QUEUE_R4 = [
               " > runs/verify_r4.log 2>&1"),
          timeout=600),
     dict(name="verify_train_dense",
-         cmd=(f"{TRAIN} {_VERIFY_TRAIN_FLAGS} --coarse_samples 16 "
+         cmd=(f"rm -f /tmp/verify_nerf.pkl && {TRAIN} {_VERIFY_TRAIN_FLAGS} --coarse_samples 16 "
               "--fine_samples 16 --steps 600 --save_path /tmp/verify_nerf.pkl "
               "/tmp/verify_scene >> runs/verify_r4.log 2>&1"),
          timeout=1200, stall_secs=900, log="runs/verify_r4.log"),
@@ -62,7 +62,7 @@ QUEUE_R4 = [
               ">> runs/verify_r4.log 2>&1"),
          timeout=900, log="runs/verify_r4.log"),
     dict(name="verify_train_occ",
-         cmd=(f"{TRAIN} {_VERIFY_TRAIN_FLAGS} {_OCC_FLAGS} "
+         cmd=(f"rm -f /tmp/verify_ngp.pkl && {TRAIN} {_VERIFY_TRAIN_FLAGS} {_OCC_FLAGS} "
               "--occ_train_budget auto --occ_train_budget_start 300 --steps 600 "
               "--save_path /tmp/verify_ngp.pkl /tmp/verify_scene "
               ">> runs/verify_r4.log 2>&1"),
@@ -94,14 +94,14 @@ QUEUE_R4 = [
 
     # ---- tier 2: flagship quality rows -------------------------------------
     dict(name="ngp_scan8_throughput",
-         cmd=(f"{TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
+         cmd=(f"rm -f runs/ours_ngp_scan8.pkl && {TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
               "--occupancy --occ_train_budget 12 --occ_train_budget_start 400 "
               "--steps_per_dispatch 8 --steps 1600 "
               "--save_path runs/ours_ngp_scan8.pkl runs/scene_train "
               "> runs/ours_ngp_scan8.log 2>&1"),
          timeout=1800, stall_secs=1500, log="runs/ours_ngp_scan8.log"),
     dict(name="ngp_cosine_train",
-         cmd=(f"{TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
+         cmd=(f"rm -f runs/ours_ngp_cosine.pkl && {TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
               "--occupancy --occ_train_budget 12 --occ_train_budget_start 400 "
               "--lr_schedule cosine --occ_freeze_grid_after 800 --ema 0.99 "
               "--steps 1500 --save_path runs/ours_ngp_cosine.pkl "
@@ -115,12 +115,12 @@ QUEUE_R4 = [
 
     # ---- tier 3: Ref-NeRF / NGPxRef head-to-heads (VERDICT #3) --------------
     dict(name="ours_refnerf_train",
-         cmd=(f"{TRAIN} --ref_nerf --batch_size 4096 --lr 1e-4 --seed 0 "
+         cmd=(f"rm -f runs/ours_refnerf_1500.pkl && {TRAIN} --ref_nerf --batch_size 4096 --lr 1e-4 --seed 0 "
               "--occupancy --steps 1500 --save_path runs/ours_refnerf_1500.pkl "
               "runs/scene_shiny_train > runs/ours_refnerf_1500.log 2>&1"),
          timeout=3600, stall_secs=1800, log="runs/ours_refnerf_1500.log"),
     dict(name="ours_ngpref_train",
-         cmd=(f"{TRAIN} --instant_ngp --ref_nerf --batch_size 4096 --lr 1e-2 "
+         cmd=(f"rm -f runs/ours_ngpref.pkl && {TRAIN} --instant_ngp --ref_nerf --batch_size 4096 --lr 1e-2 "
               "--seed 0 --occupancy --steps 1500 "
               "--save_path runs/ours_ngpref.pkl runs/scene_shiny_train "
               "> runs/ours_ngpref.log 2>&1"),
@@ -144,7 +144,7 @@ QUEUE_R4 = [
               "--steps 10 > runs/measure_ref_ngpref.log 2>&1"),
          timeout=3600, log="runs/measure_ref_ngpref.log"),
     dict(name="ref_refnerf_train",
-         cmd=("python tools/train_reference.py --ref_nerf --batch_size 4096 "
+         cmd=("rm -f runs/ref_refnerf.pkl && python tools/train_reference.py --ref_nerf --batch_size 4096 "
               "--steps 1500 --lr 1e-4 --save_path runs/ref_refnerf.pkl "
               "runs/scene_shiny_train > runs/ref_refnerf.log 2>&1"),
          timeout=10800, log="runs/ref_refnerf.log", stall_secs=2400),
@@ -168,7 +168,7 @@ QUEUE_R4 = [
               ">> runs/blender_e2e.log 2>&1"),
          timeout=1200),
     dict(name="blender_e2e_train",
-         cmd=(f"{TRAIN} --batch_size 1024 --lr 2e-3 --seed 0 --occupancy "
+         cmd=(f"rm -f runs/blender_e2e.pkl && {TRAIN} --batch_size 1024 --lr 2e-3 --seed 0 --occupancy "
               "--occ_candidates 64 --occ_samples 24 --occ_grid 64 --steps 1000 "
               "--save_path runs/blender_e2e.pkl runs/scene_blender_train "
               ">> runs/blender_e2e.log 2>&1"),

@@ -5,6 +5,11 @@
 # it.) The real pool IP is forwarded via TPU_POOL_IPS_REAL for the runner's
 # TPU children.
 cd "$(dirname "$0")/../.." || exit 1
+# 127.0.0.1 is the GENUINE pool IP in this container (loopback relay to
+# the TPU host — see /root/.axon_site/sitecustomize.py), so the fallback
+# also covers launches from a CPU-env shell where the variable was
+# cleared.  On a differently-tunneled box, export PALLAS_AXON_POOL_IPS
+# before launching.
 export TPU_POOL_IPS_REAL="${PALLAS_AXON_POOL_IPS:-127.0.0.1}"
 exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
   PYTHONPATH="/root/repo:/root/.axon_site" \
