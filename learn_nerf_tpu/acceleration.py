@@ -80,12 +80,36 @@ class OccupancyGrid:
 
     def cell_indices(self, x: Array) -> Array:
         """Flat cell index for each point, ``[...]`` int32."""
+        cell = self._cell_coords(x)
+        r = self.resolution
+        return cell[..., 0] + r * (cell[..., 1] + r * cell[..., 2])
+
+    def _cell_coords(self, x: Array) -> Array:
+        """Integer (x, y, z) cell coordinates — the ONE quantization rule
+        (cell_indices and the block-word path must agree bit-exactly)."""
         bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
         bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
         frac = jnp.clip((x - bbox_min) / (bbox_max - bbox_min), 0.0, 1.0 - 1e-7)
-        cell = (frac * self.resolution).astype(jnp.int32)
+        return (frac * self.resolution).astype(jnp.int32)
+
+    def block_indices(self, x: Array) -> Tuple[Array, Array]:
+        """(flat block-word index, bit index) per point for the packed
+        occupancy table (:func:`pack_block_table`).  Same quantization as
+        :meth:`cell_indices`."""
+        cell = self._cell_coords(x)
+        dx, dy, dz = BLOCK_DIMS
         r = self.resolution
-        return cell[..., 0] + r * (cell[..., 1] + r * cell[..., 2])
+        nbx, nby = r // dx, r // dy
+        widx = (
+            cell[..., 0] // dx
+            + nbx * (cell[..., 1] // dy + nby * (cell[..., 2] // dz))
+        )
+        bit = (
+            cell[..., 0] % dx
+            + dx * (cell[..., 1] % dy)
+            + dx * dy * (cell[..., 2] % dz)
+        )
+        return widx, bit
 
     def occupied_from_densities(
         self, state: OccupancyGridState, d: Array
@@ -233,6 +257,62 @@ def superpool_densities(densities: Array, resolution: int, factor: int) -> Array
     rs = r // f
     cube = densities.reshape(rs, f, rs, f, rs, f)  # [z, y, x] blocks
     return cube.max(axis=(1, 3, 5)).reshape(-1)
+
+
+#: Cells per packed occupancy word, (x, y, z).  4*4*2 = 32 cells = one
+#: uint32: TPU gather throughput is COUNT-bound (~110M rows/s regardless of
+#: row width, docs/DESIGN.md section 3), so packing a whole block's
+#: occupancy plus its max density into ONE 8-byte row lets a single gather
+#: answer the occupancy test for every candidate that lands in the block.
+BLOCK_DIMS = (4, 4, 2)
+
+
+def pack_block_table(densities: Array, resolution: int, threshold: float) -> Array:
+    """Pack flat ``[r^3]`` cell densities into a ``[r^3/32, 2]`` float32
+    gather table: column 0 = the block's 32 occupancy bits (``d >
+    threshold``) bitcast from uint32, column 1 = the block's max density
+    (drives the approximate-transmittance prune).
+
+    Block flat index = ``bx + (r/4)*(by + (r/4)*bz)``; bit index =
+    ``x%4 + 4*(y%4) + 16*(z%2)`` — both produced by
+    :meth:`OccupancyGrid.block_indices`, the only other place that knows
+    this layout.  Cheap elementwise/reduce work (~r^3 elements), so
+    callers recompute it inside the jitted program instead of threading a
+    cache through the API.
+    """
+    r = resolution
+    dx, dy, dz = BLOCK_DIMS
+    if r % dx or r % dy or r % dz:
+        raise ValueError(
+            f"occupancy grid resolution {r} is not divisible by the "
+            f"block dims {BLOCK_DIMS} (block-word selection needs it)"
+        )
+    # Flat layout x-fastest -> the [z, y, x] cube (same as superpool).
+    cube = densities.reshape(r // dz, dz, r // dy, dy, r // dx, dx)
+    bits = (cube > threshold).astype(jnp.uint32)
+    zi = jnp.arange(dz, dtype=jnp.uint32)
+    yi = jnp.arange(dy, dtype=jnp.uint32)
+    xi = jnp.arange(dx, dtype=jnp.uint32)
+    weight = (
+        jnp.uint32(1)
+        << (
+            xi[None, None, :]
+            + dx * yi[None, :, None]
+            + dx * dy * zi[:, None, None]
+        )
+    )  # [dz, dy, dx]
+    words = jnp.sum(
+        bits * weight[:, None, :, None, :], axis=(1, 3, 5), dtype=jnp.uint32
+    )  # [bz, by, bx]
+    dmax = cube.max(axis=(1, 3, 5))  # [bz, by, bx]
+    table = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(words.reshape(-1), jnp.float32),
+            dmax.reshape(-1),
+        ],
+        axis=-1,
+    )
+    return table  # [nblocks, 2] float32; flatten order bx-fastest
 
 
 def dilate_supercells(sup: Array, rs: int) -> Array:

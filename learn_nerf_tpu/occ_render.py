@@ -61,6 +61,19 @@ class OccupancyRenderer:
     # so coarse sampling cannot step over a supercell (64 at 128/8).
     span_candidates: int = 0
     span_pool_factor: int = 8
+    # Block-word occupancy gathers (inference lever; 0 = off): gather ONE
+    # packed 8-byte row — a 4x4x2 block's 32 occupancy bits + its max
+    # density — at every k-th candidate, then answer each candidate's
+    # occupancy from the bracketing probes' words (gathers are
+    # count-bound, docs/DESIGN.md section 3, so one row per k candidates
+    # replaces k per-cell gathers).  A candidate whose block matches
+    # neither bracketing probe (a block-boundary corner inside one probe
+    # gap — rare at k <= 4) conservatively counts OCCUPIED, so geometry is
+    # never dropped; the transmittance prune sees the block-MAX density
+    # instead of the per-cell value (both are estimates of the same EMA
+    # field).  stride 1 is bit-identical to the per-cell path (every
+    # candidate is its own probe) — tested.
+    block_gather_stride: int = 0
 
     def render_rays(
         self,
@@ -151,9 +164,12 @@ class OccupancyRenderer:
             mask = mask & span_hit
         cand_ts = stratified_ts(key, t_min, t_max, self.candidates)
         cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
-        cell_idx = self.grid.cell_indices(cand_pts)
-        d_grid = jax.lax.stop_gradient(grid_state.densities)[cell_idx]
-        occ = self.grid.occupied_from_densities(grid_state, d_grid)
+        if self.block_gather_stride > 0:
+            occ, d_grid = self._block_word_occupancy(cand_pts, grid_state)
+        else:
+            cell_idx = self.grid.cell_indices(cand_pts)
+            d_grid = jax.lax.stop_gradient(grid_state.densities)[cell_idx]
+            occ = self.grid.occupied_from_densities(grid_state, d_grid)
         dt = (t_max - t_min)[:, None] / self.candidates  # [N, 1]
         if transmittance_eps > 0.0:
             # The grid holds an EMA-max of true densities per cell, so the
@@ -164,6 +180,56 @@ class OccupancyRenderer:
             occ = occ & (jnp.exp(-acc_prev) > transmittance_eps)
         occ = occ & mask[:, None]
         return cand_ts, occ, dt, mask
+
+    def _block_word_occupancy(
+        self, cand_pts: Array, grid_state: OccupancyGridState
+    ) -> Tuple[Array, Array]:
+        """Candidate occupancy + prune densities from packed block words.
+
+        One dynamic gather of ``ceil(C/k)`` 8-byte rows per ray replaces C
+        per-cell gathers; all the bracketing/bit logic below is static
+        indexing and elementwise work.  See the ``block_gather_stride``
+        field docstring for the scheme and its conservativeness argument.
+
+        :param cand_pts: ``[N, C, 3]`` candidate points.
+        :return: ``(occ [N, C] bool, d_grid [N, C])`` — d_grid is the
+            block-max density (0 where unoccupied), feeding the same
+            transmittance prune as the per-cell path.
+        """
+        from .acceleration import pack_block_table
+
+        k = self.block_gather_stride
+        n_cand = cand_pts.shape[1]
+        densities = jax.lax.stop_gradient(grid_state.densities)
+        table = pack_block_table(
+            densities, self.grid.resolution, self.grid.threshold
+        )
+        widx_c, bit_c = self.grid.block_indices(cand_pts)  # [N, C] each
+
+        probe_sel = np.arange(0, n_cand, k)  # static
+        n_probe = probe_sel.shape[0]
+        widx_p = widx_c[:, probe_sel]
+        rows = table[widx_p]  # [N, P, 2] — THE gather
+        words_p = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
+        dmax_p = rows[..., 1]
+
+        j0 = np.minimum(np.arange(n_cand) // k, n_probe - 1)  # static
+        j1 = np.minimum(j0 + 1, n_probe - 1)
+        m0 = widx_c == widx_p[:, j0]
+        m1 = widx_c == widx_p[:, j1]
+        words_c = jnp.where(m0, words_p[:, j0], words_p[:, j1])
+        d_c = jnp.where(m0, dmax_p[:, j0], dmax_p[:, j1])
+        matched = m0 | m1
+        bit = ((words_c >> bit_c.astype(jnp.uint32)) & jnp.uint32(1)).astype(
+            jnp.bool_
+        )
+        # Unmatched -> conservatively occupied, with the nearest probe's
+        # block max standing in for the prune density.  Warmup mirrors
+        # occupied_from_densities: every cell tests occupied.
+        occ = jnp.where(matched, bit, True)
+        occ = occ | (grid_state.step < self.grid.warmup_updates)
+        d_grid = jnp.where(occ, d_c, 0.0)
+        return occ, d_grid
 
     def _occupied_span(
         self,

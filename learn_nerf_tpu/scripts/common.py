@@ -160,6 +160,19 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "span probe so fewer span candidates are needed: required "
         "candidates = 2*sqrt(3)*grid/factor)",
     )
+    parser.add_argument(
+        "--occ_block_gather",
+        type=int,
+        default=0,
+        help="inference only: gather ONE packed row (a 4x4x2 block's 32 "
+        "occupancy bits + its max density) per this-many candidates and "
+        "answer each candidate from the bracketing probes' words — "
+        "gathers are count-bound, so stride k cuts selection gathers "
+        "~k-fold; block-mismatch candidates conservatively count "
+        "occupied (geometry is never dropped).  1 = bit-identical to "
+        "per-cell gathers; 2-4 trades a small occupied-overcount for "
+        "speed (0 = off)",
+    )
 
 
 def create_model(
@@ -365,6 +378,7 @@ def build_occupancy_renderer(args, metadata: ModelMetadata, fine, params):
         samples=args.occ_samples,
         span_candidates=getattr(args, "occ_span_candidates", 0),
         span_pool_factor=getattr(args, "occ_span_pool_factor", 8),
+        block_gather_stride=getattr(args, "occ_block_gather", 0),
         **bbox,
     )
     return renderer, grid_state

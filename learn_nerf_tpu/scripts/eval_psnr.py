@@ -1,9 +1,11 @@
-"""Evaluate a trained model: render every view of a dataset and report PSNR.
+"""Evaluate a trained model: render every view of a dataset and report
+PSNR (and SSIM).
 
 No reference counterpart (the reference only logs MSE losses); this is the
 measurement tool behind BASELINE.md's "matched PSNR" comparisons.  Prints
-per-view and mean PSNR in dB over u8 pixels, plus a final summary line
-``mean_psnr=<dB>`` for scripting.
+per-view and mean PSNR in dB (plus SSIM, Wang et al. 2004) over u8
+pixels, with final summary lines ``mean_psnr=<dB>`` / ``mean_ssim=<s>``
+for scripting.
 """
 
 import os
@@ -11,14 +13,8 @@ import os
 import numpy as np
 
 from ..data.dataset import load_dataset
+from ..utils.metrics import psnr, ssim
 from .render_nerf import RenderSession, base_argparser
-
-
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = float(((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean())
-    if mse == 0:
-        return float("inf")
-    return 10.0 * np.log10(255.0**2 / mse)
 
 
 def main(argv=None):
@@ -40,6 +36,7 @@ def main(argv=None):
 
     session = RenderSession(args)
     scores = []
+    ssims = []
     for i, view in enumerate(progress(views, desc="views")):
         gt = view.image()
         # Explicit per-view resolution: the jitted frame fn caches one
@@ -49,9 +46,15 @@ def main(argv=None):
         session.images.clear()
         score = psnr(pred, gt)
         scores.append(score)
-        print(f"view {i}: psnr={score:.2f} dB", flush=True)
+        # SSIM needs an 11-pixel window; tiny debug views skip it.
+        s = ssim(pred, gt) if min(gt.shape[:2]) >= 11 else None
+        ssims.append(s)
+        extra = f" ssim={s:.4f}" if s is not None else ""
+        print(f"view {i}: psnr={score:.2f} dB{extra}", flush=True)
 
     print(f"mean_psnr={np.mean(scores):.3f}")
+    if all(s is not None for s in ssims) and ssims:
+        print(f"mean_ssim={np.mean(ssims):.4f}")
 
 
 if __name__ == "__main__":

@@ -95,6 +95,7 @@ def test_eval_psnr_cli(tiny_dataset, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "view 0: psnr=" in out
     assert "mean_psnr=" in out
+    assert "mean_ssim=" in out  # 16x16 views >= the 11x11 SSIM window
 
 
 def test_spin_and_pan_orbits(tiny_dataset, tmp_path):

@@ -1372,6 +1372,135 @@ def test_two_phase_span_covers_corner_grazing_chord():
         assert float(t_hi[0]) >= t_out, (sc, float(t_hi[0]), t_out)
 
 
+def test_block_word_occupancy_matches_cell_path():
+    """Packed block-word selection (--occ_block_gather): stride 1 is
+    bit-identical to the per-cell gather path (every candidate is its own
+    probe, so the word's bit IS the cell's occupancy); stride 4 is a
+    conservative superset (block-mismatch candidates count occupied) with
+    a small fallback rate; warmup keeps everything occupied."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    r = 32
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=r)
+    rng = np.random.RandomState(7)
+    densities = (rng.rand(r**3) < 0.08).astype(np.float32)  # sparse blobs
+    gs = grid.init().replace(
+        densities=jnp.asarray(densities),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+
+    def renderer(stride):
+        return OccupancyRenderer(
+            model=None, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+            candidates=96, samples=16, block_gather_stride=stride,
+        )
+
+    # Aim every ray INTO the bbox from z=-3 so most cross occupied cells.
+    rays = _rays_into_bbox(64)
+    key = jax.random.PRNGKey(0)
+
+    base = renderer(0)
+    _, occ0, _, mask0 = base._select_candidates(key, rays, gs)
+    one = renderer(1)
+    _, occ1, _, mask1 = one._select_candidates(key, rays, gs)
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+    np.testing.assert_array_equal(np.asarray(mask0), np.asarray(mask1))
+
+    four = renderer(4)
+    _, occ4, _, _ = four._select_candidates(key, rays, gs)
+    o0, o4 = np.asarray(occ0), np.asarray(occ4)
+    assert not np.any(o0 & ~o4), "block-word path dropped occupied candidates"
+    extra = (o4 & ~o0).mean()
+    assert extra < 0.05, f"conservative fallback rate too high: {extra:.3f}"
+
+    # The transmittance prune composes: still never drops what the
+    # unpruned cell path keeps pruned at the same eps... the prune sees
+    # block-max densities (>= per-cell), so compare against eps=0 base.
+    _, occ4e, _, _ = four._select_candidates(
+        key, rays, gs, transmittance_eps=1e-6
+    )
+    assert not np.any(np.asarray(occ4e) & ~o4)
+
+    # Warmup: everything occupied regardless of the words.
+    gs_warm = grid.init()
+    _, occw, _, maskw = four._select_candidates(key, rays, gs_warm)
+    assert bool(jnp.all(occw[maskw]))
+
+    # Non-divisible resolution is a loud error, not silent corruption.
+    import pytest
+
+    grid_bad = OccupancyGrid(
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=10
+    )
+    bad = OccupancyRenderer(
+        model=None, grid=grid_bad, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=16, samples=8, block_gather_stride=2,
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        bad._select_candidates(key, rays, grid_bad.init())
+
+
+def test_block_word_render_bit_identical_at_stride_one():
+    """End-to-end: render_rays with block_gather_stride=1 (eps 0) must be
+    BIT-identical to the per-cell path — same occ -> same strided
+    compaction -> same model points -> same image."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    model, params = _small_model_and_params()
+    r = 32
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=r)
+    rng = np.random.RandomState(11)
+    densities = (rng.rand(r**3) < 0.1).astype(np.float32) * 2.0
+    gs = grid.init().replace(
+        densities=jnp.asarray(densities),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+
+    def render(stride):
+        rend = OccupancyRenderer(
+            model=model, grid=grid, bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1), candidates=64, samples=16,
+            block_gather_stride=stride,
+        )
+        out, _ = rend.render_rays(
+            jax.random.PRNGKey(4), _rays_into_bbox(48),
+            params, jnp.asarray([0.1, 0.2, 0.3]), gs,
+        )
+        return np.asarray(out["outputs"])
+
+    np.testing.assert_array_equal(render(1), render(0))
+
+    # stride 4 differs only through the rare conservative extras (an
+    # extra "occupied" candidate changes that ray's strided compaction
+    # and delta_scale): a few rays shift visibly on this random-param
+    # model, the rest are identical.
+    # (This incoherent random-blob grid is the worst case for block
+    # bracketing — real trained grids are spatially coherent; the
+    # fidelity/speed tradeoff per stride is measured on-chip.)
+    r4, r0 = render(4), render(0)
+    diff = np.abs(r4 - r0).max(axis=-1)
+    assert (diff > 0.01).mean() < 0.25, (diff > 0.01).mean()
+    assert diff.max() < 0.2, diff.max()
+
+
+def _rays_into_bbox(n, seed=3):
+    import jax.numpy as jnp
+
+    dirs = np.asarray(_random_rays(n, seed=seed)[:, 1])
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 0.5
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.tile(np.asarray([[0.0, 0.0, -3.0]], np.float32), (n, 1))
+    return jnp.asarray(np.stack([origins, dirs.astype(np.float32)], axis=1))
+
+
 def test_two_phase_span_anisotropic_bbox():
     """On a non-cubic bbox the probe-count precondition must scale with
     the SHORTEST supercell side (deriving it from the max side quietly

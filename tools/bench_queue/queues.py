@@ -41,6 +41,25 @@ QUEUE_R4 = [
          cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 64 "
               f"--pack 4 > runs/measure_baked_combo64.log 2>&1"),
          timeout=2400, log="runs/measure_baked_combo64.log"),
+    # Block-word occupancy gathers (round 4): after baking, SELECTION
+    # gathers dominate the frame (~100M vs ~13M field) — stride-k packed
+    # rows cut them ~k-fold.  PSNR-vs-live in the same log tracks the
+    # bake error; the eval item below pins absolute quality vs the
+    # per-cell path on the held-out views.
+    dict(name="baked_combo_bg2",
+         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 96 "
+              f"--pack 4 --block_gather 2 > runs/measure_baked_bg2.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_bg2.log"),
+    dict(name="baked_combo_bg4",
+         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 96 "
+              f"--pack 4 --block_gather 4 > runs/measure_baked_bg4.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_bg4.log"),
+    dict(name="eval_block_gather4",
+         cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
+              "--occ_block_gather 4 --occ_budget_per_ray auto "
+              "--model_path runs/ours_ngp_long.pkl runs/scene_test "
+              "> runs/eval_block_gather4.log 2>&1"),
+         timeout=2400, log="runs/eval_block_gather4.log"),
 
     # ---- tier 1: the /verify end-to-end drive (train+render on chip) ------
     dict(name="verify_scene_write", tpu=False,

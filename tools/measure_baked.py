@@ -58,6 +58,11 @@ def main():
         "--pack", type=int, default=1, choices=(1, 2, 4, 8),
         help="corners per baked row (PACKx memory, 8/PACK gathers/sample)",
     )
+    p.add_argument(
+        "--block_gather", type=int, default=0,
+        help="packed block-word occupancy gathers at this candidate "
+        "stride (0 = per-cell gathers; see --occ_block_gather)",
+    )
     args = p.parse_args()
 
     import jax
@@ -97,7 +102,8 @@ def main():
         return OccupancyRenderer(
             model=field_model, grid=grid,
             candidates=args.candidates, samples=args.samples,
-            span_candidates=args.span_candidates, **bbox,
+            span_candidates=args.span_candidates,
+            block_gather_stride=args.block_gather, **bbox,
         )
 
     def timed_frames(tag, field_model, field_params):
