@@ -48,7 +48,7 @@ def test_measure_baked_cli(tmp_path):
             os.path.join(scene, "0000.json"),
             "--size", "16", "--resolutions", "24", "--budget", "8",
             "--candidates", "16", "--samples", "8", "--reps", "1",
-            "--pack", "2",
+            "--pack", "2", "--block_gather", "2",
         ],
         capture_output=True,
         text=True,

@@ -211,6 +211,12 @@ QUEUE_R4 = [
          cmd=(f"{MB} --resolutions 256 --span_candidates 64 --candidates 96 "
               "--pack 8 > runs/measure_baked_256p8.log 2>&1"),
          timeout=2400, log="runs/measure_baked_256p8.log"),
+
+    # ---- final: self-assembling results table -------------------------------
+    dict(name="summary_tables", tpu=False,
+         cmd=(f"{CPUPFX} python tools/summarize_runs.py runs "
+              "> runs/summary_r4.md 2>&1"),
+         timeout=300),
 ]
 
 QUEUES = {"r4": QUEUE_R4}

@@ -34,15 +34,20 @@ def train_stats(path):
 
 
 def mean_psnr(path):
+    """(mean PSNR, mean SSIM or None) from an eval_psnr log."""
+    p = s = None
     try:
         with open(path) as f:
             for ln in f:
                 m = re.match(r"mean_psnr=([\d.]+)", ln)
                 if m:
-                    return float(m.group(1))
+                    p = float(m.group(1))
+                m = re.match(r"mean_ssim=([\d.]+)", ln)
+                if m:
+                    s = float(m.group(1))
     except FileNotFoundError:
         pass
-    return None
+    return p, s
 
 
 def fmt(x, spec=",.0f"):
@@ -110,14 +115,14 @@ def main():
         # (the reference NGPxRef baseline is device-bound only —
         # measure_ref_ngpref.log, surfaced by device_bound_rows below)
     ]
-    print("| config | rays/sec (end-to-end) | final fine MSE | test PSNR |")
-    print("|---|---|---|---|")
+    print("| config | rays/sec (end-to-end) | final fine MSE | test PSNR | SSIM |")
+    print("|---|---|---|---|---|")
     for label, train, ev in rows:
         rate, fine = train_stats(f"{d}/{train}.log")
-        psnr = mean_psnr(f"{d}/{ev}.log") if ev else None
+        psnr, ssim = mean_psnr(f"{d}/{ev}.log") if ev else (None, None)
         print(
             f"| {label} | {fmt(rate)} | {fmt(fine, '.5f')} | "
-            f"{fmt(psnr, '.2f')} |"
+            f"{fmt(psnr, '.2f')} | {fmt(ssim, '.4f')} |"
         )
     device_bound_rows(d)
     baked_frames(d)
