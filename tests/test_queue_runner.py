@@ -86,6 +86,44 @@ def test_lock_rejects_live_holder_and_reclaims_stale(tmp_path):
     os.unlink(got)
 
 
+def test_deadline_defers_tpu_items_without_markers(tmp_path, monkeypatch):
+    """--deadline-epoch: a TPU item whose timeout crosses the deadline is
+    deferred with NO marker (a relaunch picks it up); CPU items are
+    exempt; a fitting TPU item still runs."""
+    # TPU env must not touch the real chip: stub the probe.
+    monkeypatch.setattr(run_queue, "probe_chip", lambda **kw: 1)
+    past = time.time() + 5  # only items with timeout < 5s fit
+
+    ran = tmp_path / "ran"
+    long_tpu = dict(name="long", cmd=f"echo long >> {ran}", tpu=True,
+                    timeout=3600)
+    short_tpu = dict(name="short", cmd=f"echo short >> {ran}", tpu=True,
+                     timeout=1, retries=0)
+    cpu = dict(name="cpu", cmd=f"echo cpu >> {ran}", tpu=False, timeout=3600)
+
+    assert run_item_res(long_tpu, tmp_path, past) is None
+    assert not (tmp_path / "long.done").exists()
+    assert not (tmp_path / "long.fail").exists()
+    assert run_item_res(short_tpu, tmp_path, past) is True
+    assert run_item_res(cpu, tmp_path, past) is True
+    assert ran.read_text().splitlines() == ["short", "cpu"]
+
+
+def run_item_res(item, tmp_path, deadline):
+    return run_queue.run_item(item, str(tmp_path), cooldown=0,
+                              deadline=deadline)
+
+
+def test_probe_chip_gives_up_at_deadline(monkeypatch):
+    # No probe subprocess must run: give_up_at already passed.
+    monkeypatch.setattr(
+        run_queue, "_run_with_timeout",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("probed")),
+    )
+    with pytest.raises(run_queue.DeadlineReached):
+        run_queue.probe_chip(give_up_at=time.time() - 1)
+
+
 def test_end_to_end_resume_via_cli(tmp_path, monkeypatch):
     """Run a 3-item queue, fail the middle item, rerun: only it retries."""
     # Two levels deep so the runner's derived repo root (three dirname()s

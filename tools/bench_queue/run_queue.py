@@ -150,16 +150,26 @@ def _kill_group(proc):
         pass
 
 
-def probe_chip(probe_timeout=900, sleep_between=30, max_attempts=None):
+class DeadlineReached(Exception):
+    """The runner's --deadline-epoch passed while waiting for the chip."""
+
+
+def probe_chip(probe_timeout=900, sleep_between=30, max_attempts=None,
+               give_up_at=None):
     """Block until the TPU answers a tiny matmul. Returns attempts used.
 
     Under a relay wedge the probe HANGS rather than erroring, and completes
     the moment the far end recovers — so a long per-probe timeout doubles as
-    the recovery wait (CLAUDE.md "Chip-claim wedge").
+    the recovery wait (CLAUDE.md "Chip-claim wedge").  ``give_up_at`` is an
+    absolute epoch: past it, raise :class:`DeadlineReached` instead of
+    starting another probe (the caller's item no longer fits before the
+    runner's deadline).
     """
     attempt = 0
     while True:
         attempt += 1
+        if give_up_at is not None and time.time() > give_up_at:
+            raise DeadlineReached()
         if os.path.exists(os.path.join(STATE_ROOT, "STOP")):
             raise SystemExit("STOP sentinel present; abandoning chip probe")
         cmd = f"python -c {shlex.quote(PROBE_SRC)} > /tmp/queue_probe.log 2>&1"
@@ -195,17 +205,33 @@ def _looks_wedged(reason, log_path):
     return False
 
 
-def run_item(item, state_dir, cooldown=45):
+def run_item(item, state_dir, cooldown=45, deadline=None):
+    """True = done, False = failed (marker written), None = deferred
+    (deadline would be crossed; no marker, a relaunch picks it up)."""
     name = item["name"]
     done_path = os.path.join(state_dir, f"{name}.done")
     fail_path = os.path.join(state_dir, f"{name}.fail")
     retries = item.get("retries", 2)
     log_path = item.get("log")
-    env = _tpu_env() if item.get("tpu", True) else _cpu_env()
+    is_tpu = item.get("tpu", True)
+    env = _tpu_env() if is_tpu else _cpu_env()
+    # CPU items never hold the chip; only TPU items respect the deadline.
+    start_by = (
+        deadline - item["timeout"] if deadline is not None and is_tpu else None
+    )
 
     for attempt in range(1, retries + 2):
-        if item.get("tpu", True):
-            probe_chip()
+        if start_by is not None and time.time() > start_by:
+            _log(f"item {name}: deferred (would hold the chip past the "
+                 f"deadline); no marker written")
+            return None
+        if is_tpu:
+            try:
+                probe_chip(give_up_at=start_by)
+            except DeadlineReached:
+                _log(f"item {name}: deferred (deadline reached while "
+                     f"waiting for the chip)")
+                return None
         _log(f"item {name}: attempt {attempt} starting "
              f"(timeout {item['timeout']}s, log {log_path or '-'})")
         t0 = time.time()
@@ -266,6 +292,12 @@ def main(argv=None):
     p.add_argument("queue", help="queue name from queues.py")
     p.add_argument("--retry-failed", action="store_true",
                    help="also rerun items with a .fail marker")
+    p.add_argument("--deadline-epoch", type=float, default=None,
+                   help="unix epoch after which no TPU item may still be "
+                   "running (items whose timeout would cross it are "
+                   "deferred, unmarked, for a later relaunch; CPU items "
+                   "are exempt) — keeps the chip free for the driver's "
+                   "round-end bench.py")
     p.add_argument("--list", action="store_true", help="print item status and exit")
     args = p.parse_args(argv)
 
@@ -288,7 +320,7 @@ def main(argv=None):
     try:
         os.chdir(REPO)
         stop_sentinel = os.path.join(STATE_ROOT, "STOP")
-        n_done = n_fail = n_skip = 0
+        n_done = n_fail = n_skip = n_defer = 0
         for it in items:
             if os.path.exists(stop_sentinel):
                 # Graceful drain: finish nothing more, release the chip
@@ -307,12 +339,15 @@ def main(argv=None):
                      f"(use --retry-failed)")
                 n_fail += 1
                 continue
-            if run_item(it, state_dir):
+            got = run_item(it, state_dir, deadline=args.deadline_epoch)
+            if got is None:
+                n_defer += 1
+            elif got:
                 n_done += 1
             else:
                 n_fail += 1
         _log(f"queue {args.queue} complete: {n_done} ran, {n_skip} already done, "
-             f"{n_fail} failed")
+             f"{n_fail} failed, {n_defer} deferred")
         return 0 if n_fail == 0 else 1
     finally:
         os.unlink(lock)
