@@ -20,10 +20,12 @@ occupancy-grid updates (every 16 steps) and forces host fetches
 (block_until_ready is unreliable on this backend).
 
 BENCH_MODE: "all" (default) | "occupancy" | "pooled" | "parity" |
-"vanilla".  The ``instant_ngp_pooled`` submetric measures the shipped
-flagship config (``--occ_train_budget auto``) at a synthetic converged
-grid reproducing the compound scene's ~10/ray survivor demand
-(BASELINE.md "Pooled training").
+"vanilla" | "frame".  The ``instant_ngp_pooled`` submetric measures the
+shipped flagship config (``--occ_train_budget auto``) at a synthetic
+converged grid reproducing the compound scene's ~10/ray survivor demand
+(BASELINE.md "Pooled training"); ``frame_800_baked`` times the
+north-star 800x800 inference frame (baked 384^3 + span + block-word
+gathers + pooled tiles) on the same synthetic grid.
 """
 
 import json
@@ -240,6 +242,81 @@ def bench_vanilla(compute_dtype="float32"):
     )
 
 
+def bench_frame(size=800, reps=3, bake_resolution=384, pack=4,
+                grid_resolution=128, candidates=96, samples=32,
+                span_candidates=64, block_gather_stride=4, tile=8192):
+    """North-star inference workload: one 800x800 flagship NGP frame on
+    ONE chip — baked spatial field (384^3 bf16, pack 4), two-phase span
+    selection, block-word occupancy gathers (stride 4), pooled tiles,
+    early termination.  Scene-free: random-init NGP params and a
+    synthetic 5%-occupied grid reproduce the compound scene's ~5-10/ray
+    survivor demand — frame time depends on shapes, occupancy, and
+    gather counts, not on trained weight values, so this measures the
+    same device program the trained flagship runs
+    (tools/measure_baked.py measures the trained-checkpoint version).
+
+    vs_reference: the reference algorithm (dense 64c+192f hierarchy,
+    golden-matched port) renders through the same eval harness at ~3.8k
+    rays/s on this chip (BASELINE.md: 5.6 min for 8 views at 400x400).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.baked import bake_instant_ngp
+    from learn_nerf_tpu.data.camera import CameraView
+    from learn_nerf_tpu.occ_render import OccupancyFrameSession, OccupancyRenderer
+
+    bbox = dict(bbox_min=(-1.0, -1.0, -1.0), bbox_max=(1.0, 1.0, 1.0))
+    model = ngp_model(16)
+    pts = jnp.zeros((8, 3))
+    params = model.init(jax.random.PRNGKey(0), pts, pts)["params"]
+
+    grid = OccupancyGrid(resolution=grid_resolution, **bbox)
+    rng = np.random.RandomState(3)
+    occupied = (rng.rand(grid_resolution**3) < 0.05).astype(np.float32)
+    grid_state = grid.init().replace(
+        densities=jnp.asarray(occupied),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+
+    baked, baked_params = bake_instant_ngp(
+        model, params, bake_resolution, dtype=jnp.bfloat16, pack=pack,
+        verbose=False,
+    )
+    renderer = OccupancyRenderer(
+        model=baked, grid=grid, candidates=candidates, samples=samples,
+        span_candidates=span_candidates,
+        block_gather_stride=block_gather_stride, **bbox,
+    )
+    session = OccupancyFrameSession(
+        renderer, baked_params, jnp.zeros(3), grid_state,
+        budget_cfg=10.0, tile_size=tile, transmittance_eps=1e-2,
+    )
+    view = CameraView(
+        camera_direction=(0.0, 0.0, 1.0), camera_origin=(0.0, 0.0, -3.0),
+        x_axis=(1.0, 0.0, 0.0), y_axis=(0.0, 1.0, 0.0),
+        x_fov=0.69, y_fov=0.69,
+    )
+    rays = view.bare_rays(size, size)
+    key = jax.random.PRNGKey(1)
+    out = session.render(key, rays)  # compile + warmup (fetches a scalar)
+    t0 = time.time()
+    for _ in range(reps):
+        out = session.render(key, rays)
+    float(out["outputs"][0, 0])  # chain fence outside the timed window
+    per_frame = (time.time() - t0) / reps
+    rays_per_sec = size * size / per_frame
+    return dict(
+        seconds_per_frame=round(per_frame, 3),
+        rays_per_sec=round(rays_per_sec, 1),
+        config=f"{size}x{size}, baked {bake_resolution}^3 bf16 "
+        f"pack{pack}, span {span_candidates}, "
+        f"block-gather {block_gather_stride}, pooled b=10, eps 1e-2",
+        vs_reference_dense_eval=round(rays_per_sec / 3810.0, 2),
+    )
+
+
 def _device_watchdog(seconds: float):
     """Emit an explicit error JSON and exit if the first device op never
     answers.
@@ -285,7 +362,7 @@ def _device_watchdog(seconds: float):
 
 def main():
     mode = os.environ.get("BENCH_MODE", "all")
-    valid = ("all", "occupancy", "pooled", "parity", "vanilla")
+    valid = ("all", "occupancy", "pooled", "parity", "vanilla", "frame")
     if mode not in valid:
         # Fail fast (and BEFORE the device probe): an unknown mode would
         # otherwise fall through every branch and die on a bare KeyError
@@ -313,6 +390,11 @@ def main():
         # the one memory-bound workload (see DESIGN.md section 3 "bf16
         # neutral" — re-measured here with the roofline attached).
         sub["vanilla_parity_bf16"] = bench_vanilla("bfloat16")
+    if mode in ("all", "frame"):
+        # North-star inference frame (800x800, baked+span+block-gather);
+        # last so a mid-bench kill still leaves the train submetrics
+        # computed (the JSON line prints only at the end either way).
+        sub["frame_800_baked"] = bench_frame()
 
     if "instant_ngp_occupancy" in sub:
         headline = sub["instant_ngp_occupancy"]

@@ -53,6 +53,24 @@ def test_roofline_math():
     assert out2["bound"] == "memory"
 
 
+def test_bench_frame_smoke():
+    """bench_frame (the north-star 800x800 inference submetric) composes
+    bake + span selection + block-word gathers + pooled tiles into one
+    timed frame; pinned here at a tiny CPU config so the driver-run bench
+    cannot be the first place the composition executes."""
+    import bench
+
+    out = bench.bench_frame(
+        size=16, reps=1, bake_resolution=24, pack=2, grid_resolution=16,
+        candidates=16, samples=8, span_candidates=8, block_gather_stride=2,
+        tile=64,
+    )
+    assert out["seconds_per_frame"] > 0
+    assert out["rays_per_sec"] > 0
+    assert "baked 24^3" in out["config"]
+    assert out["vs_reference_dense_eval"] > 0
+
+
 def test_pooled_bench_grid_freeze_invariant():
     """bench_pooled freezes its synthetic grid (update_interval past the
     run, _host_step=1): the loop-level invariant is that no refresh fires,
