@@ -41,6 +41,48 @@ from .ops.volume import average_aux, composite, composite_alpha, termination_wei
 Array = jnp.ndarray
 
 
+def _bracketed_block_words(
+    widx_c: Array, bit_c: Array, table: Array, stride: int
+) -> Tuple[Array, Array, Array]:
+    """Answer per-column block-word lookups from strided probe gathers.
+
+    Gathers ONE packed row (:func:`~.acceleration.pack_block_table`
+    layout: 32 occupancy bits + block-max density) per ``stride`` columns
+    and answers every column from whichever bracketing probe's word
+    matches its block index; the rest is static indexing and elementwise
+    work.  Shared by candidate selection (``block_gather_stride``) and
+    span probing (``span_block_gather``).
+
+    :param widx_c: ``[N, C]`` flat block-word index per column.
+    :param bit_c: ``[N, C]`` bit index within the word.
+    :param table: ``[nblocks, 2]`` packed table.
+    :return: ``(bit, dmax, matched)``, each ``[N, C]`` — ``bit`` is the
+        column's occupancy bit (valid where ``matched``), ``dmax`` the
+        answering probe's block-max density, ``matched`` whether either
+        bracketing probe shares the column's block (callers treat
+        unmatched as occupied — conservative).
+    """
+    n_cand = widx_c.shape[1]
+    probe_sel = np.arange(0, n_cand, stride)  # static
+    n_probe = probe_sel.shape[0]
+    widx_p = widx_c[:, probe_sel]
+    rows = table[widx_p]  # [N, P, 2] — THE gather
+    words_p = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
+    dmax_p = rows[..., 1]
+
+    j0 = np.minimum(np.arange(n_cand) // stride, n_probe - 1)  # static
+    j1 = np.minimum(j0 + 1, n_probe - 1)
+    m0 = widx_c == widx_p[:, j0]
+    m1 = widx_c == widx_p[:, j1]
+    words_c = jnp.where(m0, words_p[:, j0], words_p[:, j1])
+    dmax = jnp.where(m0, dmax_p[:, j0], dmax_p[:, j1])
+    matched = m0 | m1
+    bit = ((words_c >> bit_c.astype(jnp.uint32)) & jnp.uint32(1)).astype(
+        jnp.bool_
+    )
+    return bit, dmax, matched
+
+
 @dataclass(frozen=True)
 class OccupancyRenderer:
     model: FieldModel
@@ -74,6 +116,17 @@ class OccupancyRenderer:
     # field).  stride 1 is bit-identical to the per-cell path (every
     # candidate is its own probe) — tested.
     block_gather_stride: int = 0
+    # Same trick for the phase-1 SPAN probes (0 = off; requires
+    # span_candidates > 0): the dilated supergrid is packed into block
+    # words and probed at this stride.  A block-mismatch probe counts
+    # occupied, which can only WIDEN the detected span (phase-2 still
+    # occupancy-tests every candidate at full resolution), so
+    # conservativeness is preserved by construction; stride 1 is
+    # bit-identical to the per-cell span.  At the production geometry
+    # (grid 128, factor 8, 64 probes) span probes are ~40M of the
+    # frame's ~56M selection gathers once block_gather_stride=4 — this
+    # is the next count-bound lever after it.
+    span_block_gather: int = 0
 
     def render_rays(
         self,
@@ -198,30 +251,13 @@ class OccupancyRenderer:
         """
         from .acceleration import pack_block_table
 
-        k = self.block_gather_stride
-        n_cand = cand_pts.shape[1]
         densities = jax.lax.stop_gradient(grid_state.densities)
         table = pack_block_table(
             densities, self.grid.resolution, self.grid.threshold
         )
         widx_c, bit_c = self.grid.block_indices(cand_pts)  # [N, C] each
-
-        probe_sel = np.arange(0, n_cand, k)  # static
-        n_probe = probe_sel.shape[0]
-        widx_p = widx_c[:, probe_sel]
-        rows = table[widx_p]  # [N, P, 2] — THE gather
-        words_p = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
-        dmax_p = rows[..., 1]
-
-        j0 = np.minimum(np.arange(n_cand) // k, n_probe - 1)  # static
-        j1 = np.minimum(j0 + 1, n_probe - 1)
-        m0 = widx_c == widx_p[:, j0]
-        m1 = widx_c == widx_p[:, j1]
-        words_c = jnp.where(m0, words_p[:, j0], words_p[:, j1])
-        d_c = jnp.where(m0, dmax_p[:, j0], dmax_p[:, j1])
-        matched = m0 | m1
-        bit = ((words_c >> bit_c.astype(jnp.uint32)) & jnp.uint32(1)).astype(
-            jnp.bool_
+        bit, d_c, matched = _bracketed_block_words(
+            widx_c, bit_c, table, self.block_gather_stride
         )
         # Unmatched -> conservatively occupied, with the nearest probe's
         # block max standing in for the prune density.  Warmup mirrors
@@ -323,8 +359,26 @@ class OccupancyRenderer:
         import dataclasses
 
         supergrid = dataclasses.replace(self.grid, resolution=rs)
-        idx = supergrid.cell_indices(pts)
-        occ = self.grid.occupied_from_densities(grid_state, sup[idx])  # [N, Cc]
+        if self.span_block_gather > 0:
+            # Packed block-word probing (span_block_gather field
+            # docstring): a mismatched probe counts occupied, which only
+            # WIDENS the span — phase 2 re-tests every candidate at full
+            # resolution, so no geometry can be lost.  Warmup mirrors
+            # occupied_from_densities.
+            from .acceleration import pack_block_table
+
+            table = pack_block_table(sup, rs, self.grid.threshold)
+            widx, bitidx = supergrid.block_indices(pts)
+            bit, _, matched = _bracketed_block_words(
+                widx, bitidx, table, self.span_block_gather
+            )
+            occ = jnp.where(matched, bit, True)
+            occ = occ | (grid_state.step < self.grid.warmup_updates)
+        else:
+            idx = supergrid.cell_indices(pts)
+            occ = self.grid.occupied_from_densities(
+                grid_state, sup[idx]
+            )  # [N, Cc]
 
         hit = jnp.any(occ, axis=1)
         first = jnp.argmax(occ, axis=1)  # first occupied bin

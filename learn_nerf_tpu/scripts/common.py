@@ -173,6 +173,17 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "per-cell gathers; 2-4 trades a small occupied-overcount for "
         "speed (0 = off)",
     )
+    parser.add_argument(
+        "--occ_span_block_gather",
+        type=int,
+        default=0,
+        help="inference only: the same packed block-word trick for the "
+        "phase-1 span probes (requires --occ_span_candidates > 0 and a "
+        "supergrid divisible by 4x4x2); a mismatched probe counts "
+        "occupied, which only widens the span — phase 2 re-tests every "
+        "candidate at full resolution, so geometry is never dropped "
+        "(0 = off, 1 = bit-identical to per-cell span probes)",
+    )
 
 
 def create_model(
@@ -379,6 +390,7 @@ def build_occupancy_renderer(args, metadata: ModelMetadata, fine, params):
         span_candidates=getattr(args, "occ_span_candidates", 0),
         span_pool_factor=getattr(args, "occ_span_pool_factor", 8),
         block_gather_stride=getattr(args, "occ_block_gather", 0),
+        span_block_gather=getattr(args, "occ_span_block_gather", 0),
         **bbox,
     )
     return renderer, grid_state

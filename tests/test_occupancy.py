@@ -1501,6 +1501,129 @@ def _rays_into_bbox(n, seed=3):
     return jnp.asarray(np.stack([origins, dirs.astype(np.float32)], axis=1))
 
 
+def test_span_block_gather_identical_at_stride_one_and_widens_after():
+    """Block-word span probes (--occ_span_block_gather): stride 1 must be
+    bit-identical to the per-cell span; stride 4 may only WIDEN spans
+    (t_lo' <= t_lo, t_hi' >= t_hi, hit' a superset) — a narrowed span
+    would silently exclude geometry from phase 2."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    r, factor = 64, 8  # supergrid rs=8, divisible by the 4x4x2 blocks
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=r)
+    rng = np.random.RandomState(17)
+    densities = (rng.rand(r**3) < 0.02).astype(np.float32)
+    gs = grid.init().replace(
+        densities=jnp.asarray(densities),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+
+    def spans(stride):
+        rend = OccupancyRenderer(
+            model=None, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+            candidates=96, samples=16, span_candidates=32,
+            span_pool_factor=factor, span_block_gather=stride,
+        )
+        rays = _rays_into_bbox(96, seed=5)
+        origins, dirs = rays[:, 0], rays[:, 1]
+        from learn_nerf_tpu.ops.geometry import ray_bbox_range
+
+        t_min, t_max, _ = ray_bbox_range(
+            origins, dirs, jnp.asarray([-1.0, -1.0, -1.0]),
+            jnp.asarray([1.0, 1.0, 1.0]),
+        )
+        lo, hi, hit = rend._occupied_span(origins, dirs, t_min, t_max, gs)
+        return np.asarray(lo), np.asarray(hi), np.asarray(hit)
+
+    lo0, hi0, hit0 = spans(0)
+    lo1, hi1, hit1 = spans(1)
+    np.testing.assert_array_equal(lo0, lo1)
+    np.testing.assert_array_equal(hi0, hi1)
+    np.testing.assert_array_equal(hit0, hit1)
+
+    lo4, hi4, hit4 = spans(4)
+    assert not np.any(hit0 & ~hit4), "block-word span dropped a hit ray"
+    both = hit0 & hit4
+    assert np.all(lo4[both] <= lo0[both] + 1e-6)
+    assert np.all(hi4[both] >= hi0[both] - 1e-6)
+
+    # Warmup: the span degenerates to the full range either way.
+    gs_warm = grid.init()
+    rendw = OccupancyRenderer(
+        model=None, grid=grid, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=96, samples=16, span_candidates=32,
+        span_pool_factor=factor, span_block_gather=4,
+    )
+    rays = _rays_into_bbox(8, seed=5)
+    from learn_nerf_tpu.ops.geometry import ray_bbox_range
+    import jax.numpy as jnp2
+
+    t_min, t_max, _ = ray_bbox_range(
+        rays[:, 0], rays[:, 1], jnp2.asarray([-1.0, -1.0, -1.0]),
+        jnp2.asarray([1.0, 1.0, 1.0]),
+    )
+    lo, hi, hit = rendw._occupied_span(rays[:, 0], rays[:, 1], t_min, t_max, gs_warm)
+    assert bool(jnp2.all(hit))
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(t_min), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(t_max), atol=1e-6)
+
+    # A supergrid NOT divisible by the block dims is a loud error.
+    import pytest
+
+    grid_bad = OccupancyGrid(
+        bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16
+    )  # rs = 16/8 = 2: not divisible by (4, 4, 2)
+    bad = OccupancyRenderer(
+        model=None, grid=grid_bad, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+        candidates=32, samples=8, span_candidates=16, span_pool_factor=8,
+        span_block_gather=2,
+    )
+    raysb = _rays_into_bbox(4, seed=5)
+    t_minb, t_maxb, _ = ray_bbox_range(
+        raysb[:, 0], raysb[:, 1], jnp2.asarray([-1.0, -1.0, -1.0]),
+        jnp2.asarray([1.0, 1.0, 1.0]),
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        bad._occupied_span(raysb[:, 0], raysb[:, 1], t_minb, t_maxb, grid_bad.init())
+
+
+def test_span_block_gather_render_bit_identical_at_stride_one():
+    """End-to-end render with span_block_gather=1 == per-cell span path."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.occ_render import OccupancyRenderer
+
+    model, params = _small_model_and_params()
+    r = 64
+    grid = OccupancyGrid(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=r)
+    rng = np.random.RandomState(23)
+    densities = (rng.rand(r**3) < 0.05).astype(np.float32) * 2.0
+    gs = grid.init().replace(
+        densities=jnp.asarray(densities),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+
+    def render(stride):
+        rend = OccupancyRenderer(
+            model=model, grid=grid, bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1), candidates=64, samples=16,
+            span_candidates=32, span_pool_factor=8,
+            span_block_gather=stride,
+        )
+        out, _ = rend.render_rays(
+            jax.random.PRNGKey(4), _rays_into_bbox(32),
+            params, jnp.asarray([0.1, 0.2, 0.3]), gs,
+        )
+        return np.asarray(out["outputs"])
+
+    np.testing.assert_array_equal(render(1), render(0))
+
+
 def test_two_phase_span_anisotropic_bbox():
     """On a non-cubic bbox the probe-count precondition must scale with
     the SHORTEST supercell side (deriving it from the max side quietly

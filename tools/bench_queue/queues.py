@@ -54,6 +54,11 @@ QUEUE_R4 = [
          cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 96 "
               f"--pack 4 --block_gather 4 > runs/measure_baked_bg4.log 2>&1"),
          timeout=2400, log="runs/measure_baked_bg4.log"),
+    dict(name="baked_combo_bg4_span_bg4",
+         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 96 "
+              f"--pack 4 --block_gather 4 --span_block_gather 4 "
+              f"> runs/measure_baked_bg4sb4.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_bg4sb4.log"),
     dict(name="eval_block_gather4",
          cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
               "--occ_block_gather 4 --occ_budget_per_ray auto "

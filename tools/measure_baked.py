@@ -63,6 +63,11 @@ def main():
         help="packed block-word occupancy gathers at this candidate "
         "stride (0 = per-cell gathers; see --occ_block_gather)",
     )
+    p.add_argument(
+        "--span_block_gather", type=int, default=0,
+        help="block-word span probes at this stride (see "
+        "--occ_span_block_gather; requires --span_candidates > 0)",
+    )
     args = p.parse_args()
 
     import jax
@@ -103,7 +108,8 @@ def main():
             model=field_model, grid=grid,
             candidates=args.candidates, samples=args.samples,
             span_candidates=args.span_candidates,
-            block_gather_stride=args.block_gather, **bbox,
+            block_gather_stride=args.block_gather,
+            span_block_gather=args.span_block_gather, **bbox,
         )
 
     def timed_frames(tag, field_model, field_params):
