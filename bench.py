@@ -25,7 +25,9 @@ shipped flagship config (``--occ_train_budget auto``) at a synthetic
 converged grid reproducing the compound scene's ~10/ray survivor demand
 (BASELINE.md "Pooled training"); ``frame_800_baked`` times the
 north-star 800x800 inference frame (baked 384^3 + span + block-word
-gathers + pooled tiles) on the same synthetic grid.
+gathers + pooled tiles) on a surface-like shell grid (the fog grid is
+right for training's spanless sampling, wrong under span tightening —
+see :func:`shell_grid_state`).
 """
 
 import json
@@ -242,18 +244,49 @@ def bench_vanilla(compute_dtype="float32"):
     )
 
 
+def shell_grid_state(grid, radius=0.5, thickness_cells=1.5):
+    """A surface-like synthetic occupancy grid: a thin spherical shell.
+
+    A uniformly random 5%-occupied grid is FOG, not a scene — under
+    two-phase span selection the tightened span concentrates candidates
+    inside the fog, so survivor demand measured ~30/ray (66% drops at
+    budget 10 on the CPU backend), triple the compound scene's ~5-10.
+    A converged grid on a real scene is a compact SURFACE: rays cross
+    it a couple of times with a handful of occupied cells per crossing.
+    The shell reproduces that (demand ~5-10/ray with span tightening),
+    so frame numbers from the scene-free bench transfer to the trained
+    flagship (tools/measure_baked.py is the trained-checkpoint ground
+    truth).  Symmetric in xyz, so the flat-index convention is moot.
+    """
+    import jax.numpy as jnp
+
+    res = grid.resolution
+    centers = ((np.arange(res) + 0.5) / res) * 2.0 - 1.0
+    x, y, z = np.meshgrid(centers, centers, centers, indexing="ij")
+    rad = np.sqrt(x * x + y * y + z * z)
+    cell = 2.0 / res
+    shell = (np.abs(rad - radius) < thickness_cells * cell)
+    return grid.init().replace(
+        densities=jnp.asarray(shell.reshape(-1).astype(np.float32)),
+        step=jnp.asarray(grid.warmup_updates, jnp.int32),
+    )
+
+
 def bench_frame(size=800, reps=3, bake_resolution=384, pack=4,
                 grid_resolution=128, candidates=96, samples=32,
-                span_candidates=64, block_gather_stride=4, tile=8192):
+                span_candidates=64, block_gather_stride=4,
+                span_block_gather=4, tile=8192):
     """North-star inference workload: one 800x800 flagship NGP frame on
     ONE chip — baked spatial field (384^3 bf16, pack 4), two-phase span
     selection, block-word occupancy gathers (stride 4), pooled tiles,
     early termination.  Scene-free: random-init NGP params and a
-    synthetic 5%-occupied grid reproduce the compound scene's ~5-10/ray
-    survivor demand — frame time depends on shapes, occupancy, and
-    gather counts, not on trained weight values, so this measures the
-    same device program the trained flagship runs
+    synthetic surface-like grid (:func:`shell_grid_state`) reproduce the
+    compound scene's ~5-10/ray survivor demand — frame time depends on
+    shapes, occupancy, and gather counts, not on trained weight values,
+    so this measures the same device program the trained flagship runs
     (tools/measure_baked.py measures the trained-checkpoint version).
+    The pool budget is ``auto`` (demand-measured, escalate-on-drop), so
+    the reported time is a DROP-FREE frame, not a silently lossy one.
 
     vs_reference: the reference algorithm (dense 64c+192f hierarchy,
     golden-matched port) renders through the same eval harness at ~3.8k
@@ -273,12 +306,7 @@ def bench_frame(size=800, reps=3, bake_resolution=384, pack=4,
     params = model.init(jax.random.PRNGKey(0), pts, pts)["params"]
 
     grid = OccupancyGrid(resolution=grid_resolution, **bbox)
-    rng = np.random.RandomState(3)
-    occupied = (rng.rand(grid_resolution**3) < 0.05).astype(np.float32)
-    grid_state = grid.init().replace(
-        densities=jnp.asarray(occupied),
-        step=jnp.asarray(grid.warmup_updates, jnp.int32),
-    )
+    grid_state = shell_grid_state(grid)
 
     baked, baked_params = bake_instant_ngp(
         model, params, bake_resolution, dtype=jnp.bfloat16, pack=pack,
@@ -287,11 +315,12 @@ def bench_frame(size=800, reps=3, bake_resolution=384, pack=4,
     renderer = OccupancyRenderer(
         model=baked, grid=grid, candidates=candidates, samples=samples,
         span_candidates=span_candidates,
-        block_gather_stride=block_gather_stride, **bbox,
+        block_gather_stride=block_gather_stride,
+        span_block_gather=span_block_gather, **bbox,
     )
     session = OccupancyFrameSession(
         renderer, baked_params, jnp.zeros(3), grid_state,
-        budget_cfg=10.0, tile_size=tile, transmittance_eps=1e-2,
+        budget_cfg="auto", tile_size=tile, transmittance_eps=1e-2,
     )
     view = CameraView(
         camera_direction=(0.0, 0.0, 1.0), camera_origin=(0.0, 0.0, -3.0),
@@ -311,8 +340,9 @@ def bench_frame(size=800, reps=3, bake_resolution=384, pack=4,
         seconds_per_frame=round(per_frame, 3),
         rays_per_sec=round(rays_per_sec, 1),
         config=f"{size}x{size}, baked {bake_resolution}^3 bf16 "
-        f"pack{pack}, span {span_candidates}, "
-        f"block-gather {block_gather_stride}, pooled b=10, eps 1e-2",
+        f"pack{pack}, span {span_candidates} (block-word "
+        f"{span_block_gather}), block-gather {block_gather_stride}, "
+        f"pooled auto (drop-free), eps 1e-2, shell grid",
         vs_reference_dense_eval=round(rays_per_sec / 3810.0, 2),
     )
 
