@@ -154,6 +154,39 @@ class DeadlineReached(Exception):
     """The runner's --deadline-epoch passed while waiting for the chip."""
 
 
+# The loopback relay (/root/.tpu_init.py) listens on these; the axon
+# client dials 127.0.0.1:<port> and jaxlib retries connects at ~1/s.
+RELAY_PORTS = (8082, 8083, 8087, 8092, 8093, 8097, 8102, 8103, 8107,
+               8112, 8113, 8117)
+
+
+def relay_listener_up():
+    """True if anything is LISTENing on a TPU relay port (/proc/net/tcp).
+
+    Distinguishes the two wedge modes observed so far (2026-08-18):
+      * FAR-END WEDGE (round 3): relay alive, request forwarded, no reply
+        — probe blocks in tcp_recvmsg on an ESTAB connection.
+      * RELAY DEAD (round 4): /root/.tpu_init.py exited (it os._exit(0)s
+        on stdin EOF when the host-side orchestrator drops); nothing
+        listens, the probe sleep-retries connect forever.  Only the host
+        harness can respawn the relay — in-container recovery is
+        impossible, but a hanging probe still catches a respawn within
+        ~1 s via the client's connect-retry loop.
+    """
+    want = {f"{p:04X}" for p in RELAY_PORTS}
+    try:
+        with open("/proc/net/tcp") as f:
+            for line in f.readlines()[1:]:
+                parts = line.split()
+                # local_address "0100007F:1FB5", st 0A == LISTEN
+                addr = parts[1].split(":")
+                if len(addr) == 2 and addr[1] in want and parts[3] == "0A":
+                    return True
+    except OSError:
+        pass
+    return False
+
+
 def probe_chip(probe_timeout=900, sleep_between=30, max_attempts=None,
                give_up_at=None):
     """Block until the TPU answers a tiny matmul. Returns attempts used.
@@ -183,7 +216,9 @@ def probe_chip(probe_timeout=900, sleep_between=30, max_attempts=None,
         if ok:
             _log(f"chip answered on probe attempt {attempt}")
             return attempt
-        _log(f"probe attempt {attempt} failed (rc={rc}); chip still wedged")
+        mode = "far-end wedge" if relay_listener_up() else "relay DEAD"
+        _log(f"probe attempt {attempt} failed (rc={rc}); "
+             f"chip still wedged [{mode}]")
         if max_attempts and attempt >= max_attempts:
             raise RuntimeError(f"chip never answered in {attempt} probes")
         time.sleep(sleep_between)
