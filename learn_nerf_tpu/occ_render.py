@@ -125,7 +125,10 @@ class OccupancyRenderer:
     # bit-identical to the per-cell span.  At the production geometry
     # (grid 128, factor 8, 64 probes) span probes are ~40M of the
     # frame's ~56M selection gathers once block_gather_stride=4 — this
-    # is the next count-bound lever after it.
+    # is the next count-bound lever after it.  Degrades to per-cell span
+    # probing (exact, tested) when the supergrid is too small to tile
+    # into 4x4x2 blocks — at that size the probe table is tiny and the
+    # lever is moot anyway.
     span_block_gather: int = 0
 
     def render_rays(
@@ -359,7 +362,10 @@ class OccupancyRenderer:
         import dataclasses
 
         supergrid = dataclasses.replace(self.grid, resolution=rs)
-        if self.span_block_gather > 0:
+        from .acceleration import BLOCK_DIMS
+
+        block_ok = all(rs % d == 0 for d in BLOCK_DIMS)
+        if self.span_block_gather > 0 and block_ok:
             # Packed block-word probing (span_block_gather field
             # docstring): a mismatched probe counts occupied, which only
             # WIDENS the span — phase 2 re-tests every candidate at full

@@ -1570,24 +1570,36 @@ def test_span_block_gather_identical_at_stride_one_and_widens_after():
     np.testing.assert_allclose(np.asarray(lo), np.asarray(t_min), atol=1e-6)
     np.testing.assert_allclose(np.asarray(hi), np.asarray(t_max), atol=1e-6)
 
-    # A supergrid NOT divisible by the block dims is a loud error.
-    import pytest
-
-    grid_bad = OccupancyGrid(
+    # A supergrid too small to tile into 4x4x2 blocks falls back to the
+    # per-cell span path (exact — the lever is moot at that size): the
+    # result must be bit-identical to span_block_gather=0.
+    grid_small = OccupancyGrid(
         bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1), resolution=16
     )  # rs = 16/8 = 2: not divisible by (4, 4, 2)
-    bad = OccupancyRenderer(
-        model=None, grid=grid_bad, bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
-        candidates=32, samples=8, span_candidates=16, span_pool_factor=8,
-        span_block_gather=2,
+    dens_small = (np.random.RandomState(3).rand(16**3) < 0.05).astype(np.float32)
+    gs_small = grid_small.init().replace(
+        densities=jnp2.asarray(dens_small),
+        step=jnp2.asarray(grid_small.warmup_updates, jnp.int32),
     )
-    raysb = _rays_into_bbox(4, seed=5)
+    raysb = _rays_into_bbox(32, seed=5)
     t_minb, t_maxb, _ = ray_bbox_range(
         raysb[:, 0], raysb[:, 1], jnp2.asarray([-1.0, -1.0, -1.0]),
         jnp2.asarray([1.0, 1.0, 1.0]),
     )
-    with pytest.raises(ValueError, match="not divisible"):
-        bad._occupied_span(raysb[:, 0], raysb[:, 1], t_minb, t_maxb, grid_bad.init())
+
+    def small_spans(stride):
+        rend = OccupancyRenderer(
+            model=None, grid=grid_small, bbox_min=(-1, -1, -1),
+            bbox_max=(1, 1, 1), candidates=32, samples=8, span_candidates=16,
+            span_pool_factor=8, span_block_gather=stride,
+        )
+        lo, hi, hit = rend._occupied_span(
+            raysb[:, 0], raysb[:, 1], t_minb, t_maxb, gs_small
+        )
+        return np.asarray(lo), np.asarray(hi), np.asarray(hit)
+
+    for a, b in zip(small_spans(0), small_spans(2)):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_span_block_gather_render_bit_identical_at_stride_one():
