@@ -112,8 +112,11 @@ class OccupancyRenderer:
     # neither bracketing probe (a block-boundary corner inside one probe
     # gap — rare at k <= 4) conservatively counts OCCUPIED, so geometry is
     # never dropped; the transmittance prune sees the block-MAX density
-    # instead of the per-cell value (both are estimates of the same EMA
-    # field).  stride 1 is bit-identical to the per-cell path (every
+    # instead of the per-cell value — both estimate the same EMA field,
+    # but the max accumulates opacity faster, so with eps > 0 the prune
+    # can cut later candidates earlier than the per-cell path (quality
+    # pinned by the stride-4 eval row, docs/DESIGN.md 4.3c).  With the
+    # prune off, stride 1 is bit-identical to the per-cell path (every
     # candidate is its own probe) — tested.
     block_gather_stride: int = 0
     # Same trick for the phase-1 SPAN probes (0 = off; requires
