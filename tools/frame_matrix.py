@@ -10,10 +10,13 @@ surface-like shell grid ~ the compound scene's survivor demand — see
 
 * on the TPU chip it is the measured-profile iteration loop VERDICT
   round 3 #4 asks for (``--size 800``), and
-* on the CPU backend (chip wedged) it still yields MEASURED relative
-  speedups of the same device programs at a reduced size — weaker than
-  chip numbers, clearly labeled by the ``backend`` field, but not a
-  projection.
+* on the CPU backend (chip wedged) it is an EXECUTION SMOKE for the
+  whole config stack (compiles, renders, drop-free) — nothing more.
+  Measured 2026-08-18 (docs/DESIGN.md section 3): the levers INVERT on
+  XLA:CPU (live span 0.65 s vs baked+block-gather 2.6 s at 200²)
+  because CPU gathers are not count-bound, so CPU-relative speedups
+  must NOT be read as TPU lever ordering.  The ``backend`` field labels
+  every JSON line.
 
 Workload being replaced: the reference's chunked host-loop frame render
 (``learn_nerf/scripts/render_nerf.py:85-97``).
