@@ -83,6 +83,26 @@ def _bracketed_block_words(
     return bit, dmax, matched
 
 
+def min_span_candidates(
+    resolution: int,
+    span_pool_factor: int,
+    bbox_min,
+    bbox_max,
+) -> int:
+    """Minimum phase-1 probe count for conservative two-phase span
+    selection: probe spacing must be <= half the SHORTEST supercell side
+    over the worst-case bbox-diagonal chord (the dilation argument in
+    :meth:`OccupancyRenderer._occupied_span`).  Reduces to
+    ``ceil(2*sqrt(3)*rs)`` for a cubic bbox; anisotropic bboxes need
+    more.  The ONE definition — the renderer's validation and any tool
+    that wants to auto-size ``span_candidates`` must both call this.
+    """
+    rs = resolution // span_pool_factor
+    span = np.asarray(bbox_max, np.float64) - np.asarray(bbox_min, np.float64)
+    diag = float(np.linalg.norm(span))
+    return math.ceil(2.0 * diag * rs / float(span.min()))
+
+
 @dataclass(frozen=True)
 class OccupancyRenderer:
     model: FieldModel
@@ -326,13 +346,14 @@ class OccupancyRenderer:
         # the probe within a quarter of the shortest side of a chord
         # point along EVERY axis; deriving from the max side — the
         # natural cubic shortcut — would quietly break conservation on
-        # anisotropic (e.g. LLFF-style) bboxes.  Reduces to
-        # ceil(2*sqrt(3)*rs) for a cubic bbox.
+        # anisotropic (e.g. LLFF-style) bboxes (formula shared via
+        # :func:`min_span_candidates`).
         span = np.asarray(self.bbox_max, np.float64) - np.asarray(
             self.bbox_min, np.float64
         )
-        diag = float(np.linalg.norm(span))
-        needed = math.ceil(2.0 * diag * rs / float(span.min()))
+        needed = min_span_candidates(
+            self.grid.resolution, factor, self.bbox_min, self.bbox_max
+        )
         if self.span_candidates < needed:
             # An undersized probe count would silently skip thin occupied
             # supercells and render those rays as background — a silent

@@ -49,6 +49,13 @@ def test_measure_baked_cli(tmp_path):
             "--size", "16", "--resolutions", "24", "--budget", "8",
             "--candidates", "16", "--samples", "8", "--reps", "1",
             "--pack", "2", "--block_gather", "2",
+            # Span flags cover the two round-4 failure modes the plain
+            # smoke missed: an undersized probe count for THIS scene's
+            # bbox (must auto-raise loudly, not die — the r4 queue items
+            # hit exactly that on the compound scene's anisotropic bbox)
+            # and a sub-4x4x2 supergrid (16/8 = 2^3) under
+            # span_block_gather (must fall back to per-cell probing).
+            "--span_candidates", "4", "--span_block_gather", "2",
         ],
         capture_output=True,
         text=True,
@@ -57,6 +64,7 @@ def test_measure_baked_cli(tmp_path):
         timeout=1500,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert re.search(r"^span_candidates raised 4 -> \d+", out.stdout, re.M), out.stdout
     assert re.search(r"^live: [\d.]+ s/frame", out.stdout, re.M), out.stdout
     m = re.search(
         r"^baked_24_p2: PSNR vs live ([\d.]+|inf) dB, speedup", out.stdout, re.M

@@ -34,11 +34,11 @@ QUEUE_R4 = [
          cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
          timeout=3600, log="runs/measure_baked.log"),
     dict(name="baked_combo_p4_c96",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 96 "
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 > runs/measure_baked_combo.log 2>&1"),
          timeout=2400, log="runs/measure_baked_combo.log"),
     dict(name="baked_combo_p4_c64",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 64 "
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 64 "
               f"--pack 4 > runs/measure_baked_combo64.log 2>&1"),
          timeout=2400, log="runs/measure_baked_combo64.log"),
     # Block-word occupancy gathers (round 4): after baking, SELECTION
@@ -47,15 +47,15 @@ QUEUE_R4 = [
     # bake error; the eval item below pins absolute quality vs the
     # per-cell path on the held-out views.
     dict(name="baked_combo_bg2",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 96 "
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 --block_gather 2 > runs/measure_baked_bg2.log 2>&1"),
          timeout=2400, log="runs/measure_baked_bg2.log"),
     dict(name="baked_combo_bg4",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 96 "
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 --block_gather 4 > runs/measure_baked_bg4.log 2>&1"),
          timeout=2400, log="runs/measure_baked_bg4.log"),
     dict(name="baked_combo_bg4_span_bg4",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 64 --candidates 96 "
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 --block_gather 4 --span_block_gather 4 "
               f"> runs/measure_baked_bg4sb4.log 2>&1"),
          timeout=2400, log="runs/measure_baked_bg4sb4.log"),
@@ -205,7 +205,7 @@ QUEUE_R4 = [
 
     # ---- tier 5: secondary baked variants ----------------------------------
     dict(name="baked_span_512",
-         cmd=(f"{MB} --resolutions 512 --span_candidates 64 "
+         cmd=(f"{MB} --resolutions 512 --span_candidates 96 "
               "> runs/measure_baked_span.log 2>&1"),
          timeout=2400, log="runs/measure_baked_span.log"),
     dict(name="baked_pack2",
@@ -213,7 +213,7 @@ QUEUE_R4 = [
               "> runs/measure_baked_p2.log 2>&1"),
          timeout=2400, log="runs/measure_baked_p2.log"),
     dict(name="baked_256_p8",
-         cmd=(f"{MB} --resolutions 256 --span_candidates 64 --candidates 96 "
+         cmd=(f"{MB} --resolutions 256 --span_candidates 96 --candidates 96 "
               "--pack 8 > runs/measure_baked_256p8.log 2>&1"),
          timeout=2400, log="runs/measure_baked_256p8.log"),
 

@@ -97,6 +97,25 @@ def main():
     grid = OccupancyGrid(
         resolution=int(params.get("occupancy_resolution", 128)), **bbox
     )
+    if args.span_candidates > 0:
+        # Anisotropic scene bboxes need more probes than the cubic
+        # ceil(2*sqrt(3)*rs) rule of thumb; raising the count is
+        # conservative (never lossy), so a measurement run auto-sizes
+        # LOUDLY instead of dying on the renderer's validation — chip
+        # recovery windows are too precious to burn on a flag value
+        # tuned against a different bbox.
+        from learn_nerf_tpu.occ_render import min_span_candidates
+
+        needed = min_span_candidates(  # 8 = renderer_for's default factor
+            grid.resolution, 8, metadata.bbox_min, metadata.bbox_max
+        )
+        if args.span_candidates < needed:
+            print(
+                f"span_candidates raised {args.span_candidates} -> {needed} "
+                f"(conservativeness bound for this scene's bbox)",
+                flush=True,
+            )
+            args.span_candidates = needed
     grid_state = grid.state_from_checkpoint(params)
     background = jnp.asarray(params["background"], dtype=jnp.float32)
     view = CameraView.from_json(args.view_json)
