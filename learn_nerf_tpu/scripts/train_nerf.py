@@ -207,6 +207,16 @@ def main(argv=None):
             lr = base_schedule
     else:
         lr = args.lr
+        # Deliberate default (BASELINE.md "Default-recipe decision"):
+        # constant lr is reference parity, but its endpoint is stop-step
+        # dependent (several dB measured) — point long runs at the recipe.
+        if args.steps is not None and args.steps >= 1000:
+            print(
+                "note: constant lr leaves end-of-run PSNR stop-step "
+                "dependent; for a pinned endpoint use --lr_schedule cosine "
+                "(+ --occ_freeze_grid_after, --ema; see README "
+                "'Endpoint-quality recipe')"
+            )
     coarse, fine, train_kwargs = create_model(args, data.metadata)
     if args.occupancy:
         loop = OccupancyTrainLoop(
