@@ -347,6 +347,30 @@ def bench_frame(size=800, reps=3, bake_resolution=384, pack=4,
     )
 
 
+def _relay_status():
+    """'dead' | 'up-wedged': which of the two observed outage modes holds.
+
+    The loopback TPU relay (/root/.tpu_init.py) LISTENs on fixed ports; if
+    nothing listens, the relay process itself is gone (host-side outage,
+    unrecoverable from inside the container).  If it listens but the device
+    op never answers, the far end is wedged.  Same classification as
+    tools/bench_queue/run_queue.py::relay_listener_up (kept inline so the
+    bench stays a single-file artifact for the driver).
+    """
+    want = {f"{p:04X}" for p in (8082, 8083, 8087, 8092, 8093, 8097,
+                                 8102, 8103, 8107, 8112, 8113, 8117)}
+    try:
+        with open("/proc/net/tcp") as f:
+            for line in f.readlines()[1:]:
+                parts = line.split()
+                addr = parts[1].split(":")
+                if len(addr) == 2 and addr[1] in want and parts[3] == "0A":
+                    return "up-wedged"
+    except OSError:
+        pass
+    return "dead"
+
+
 def _device_watchdog(seconds: float):
     """Emit an explicit error JSON and exit if the first device op never
     answers.
@@ -380,6 +404,7 @@ def _device_watchdog(seconds: float):
                         f"BENCH_PROBE_TIMEOUT if a long job is queued "
                         f"ahead). No measurement taken; see CLAUDE.md."
                     ),
+                    relay=_relay_status(),
                 )
             ),
             flush=True,
