@@ -114,6 +114,22 @@ def run_item_res(item, tmp_path, deadline):
                               deadline=deadline)
 
 
+def test_missing_requires_defers_without_marker(tmp_path):
+    """An item whose `requires` inputs are absent (e.g. a PSNR check on
+    renders from a deferred TPU item) defers with NO marker instead of
+    failing — a .fail marker would block the next auto-resume."""
+    ran = tmp_path / "ran"
+    need = tmp_path / "input.png"
+    item = _item("psnr", f"echo ran >> {ran}", requires=[str(need)])
+    assert run_queue.run_item(item, str(tmp_path)) is None
+    assert not ran.exists()
+    assert not (tmp_path / "psnr.done").exists()
+    assert not (tmp_path / "psnr.fail").exists()
+    need.write_text("")  # input appears (producer item ran): now runs
+    assert run_queue.run_item(item, str(tmp_path)) is True
+    assert ran.read_text() == "ran\n"
+
+
 def test_probe_chip_gives_up_at_deadline(monkeypatch):
     # No probe subprocess must run: give_up_at already passed.
     monkeypatch.setattr(

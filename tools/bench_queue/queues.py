@@ -78,7 +78,7 @@ QUEUE_R4 = [
               "--fine_samples 16 --steps 600 --save_path /tmp/verify_nerf.pkl "
               "/tmp/verify_scene >> runs/verify_r4.log 2>&1"),
          timeout=1200, stall_secs=900, log="runs/verify_r4.log"),
-    dict(name="verify_render_dense",
+    dict(name="verify_render_dense", requires=["/tmp/verify_nerf.pkl"],
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 --coarse_samples 16 "
               "--fine_samples 16 --width 32 --height 32 "
               "--model_path /tmp/verify_nerf.pkl /tmp/verify_scene/metadata.json "
@@ -91,14 +91,14 @@ QUEUE_R4 = [
               "--save_path /tmp/verify_ngp.pkl /tmp/verify_scene "
               ">> runs/verify_r4.log 2>&1"),
          timeout=1200, stall_secs=900, log="runs/verify_r4.log"),
-    dict(name="verify_render_occ",
+    dict(name="verify_render_occ", requires=["/tmp/verify_ngp.pkl"],
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 {_OCC_FLAGS} "
               "--occ_budget_per_ray auto --width 32 --height 32 "
               "--model_path /tmp/verify_ngp.pkl /tmp/verify_scene/metadata.json "
               "/tmp/verify_scene/0000.json /tmp/verify_occ.png "
               ">> runs/verify_r4.log 2>&1"),
          timeout=900, log="runs/verify_r4.log"),
-    dict(name="verify_render_baked",
+    dict(name="verify_render_baked", requires=["/tmp/verify_ngp.pkl"],
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 {_OCC_FLAGS} "
               "--occ_budget_per_ray auto --baked 128 --baked_pack 2 "
               "--width 32 --height 32 --model_path /tmp/verify_ngp.pkl "
@@ -106,6 +106,8 @@ QUEUE_R4 = [
               "/tmp/verify_baked.png >> runs/verify_r4.log 2>&1"),
          timeout=900, log="runs/verify_r4.log"),
     dict(name="verify_psnr", tpu=False,
+         requires=["/tmp/verify_out.png", "/tmp/verify_occ.png",
+                   "/tmp/verify_baked.png"],
          cmd=(f"{CPUPFX} python -c \""
               "from PIL import Image\n"
               "import numpy as np\n"
@@ -131,7 +133,7 @@ QUEUE_R4 = [
               "--steps 1500 --save_path runs/ours_ngp_cosine.pkl "
               "runs/scene_train > runs/ours_ngp_cosine.log 2>&1"),
          timeout=2400, stall_secs=1500, log="runs/ours_ngp_cosine.log"),
-    dict(name="ngp_cosine_eval",
+    dict(name="ngp_cosine_eval", requires=["runs/ours_ngp_cosine.pkl"],
          cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
               "--model_path runs/ours_ngp_cosine.pkl runs/scene_test "
               "> runs/eval_ours_ngp_cosine.log 2>&1"),
@@ -149,12 +151,12 @@ QUEUE_R4 = [
               "--save_path runs/ours_ngpref.pkl runs/scene_shiny_train "
               "> runs/ours_ngpref.log 2>&1"),
          timeout=5400, stall_secs=1800, log="runs/ours_ngpref.log"),
-    dict(name="ours_refnerf_eval",
+    dict(name="ours_refnerf_eval", requires=["runs/ours_refnerf_1500.pkl"],
          cmd=(f"{EVAL} --batch_size 4096 --ref_nerf --occupancy "
               "--model_path runs/ours_refnerf_1500.pkl runs/scene_shiny_test "
               "> runs/eval_ours_refnerf_1500.log 2>&1"),
          timeout=2400, log="runs/eval_ours_refnerf_1500.log"),
-    dict(name="ours_ngpref_eval",
+    dict(name="ours_ngpref_eval", requires=["runs/ours_ngpref.pkl"],
          cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --ref_nerf --occupancy "
               "--model_path runs/ours_ngpref.pkl runs/scene_shiny_test "
               "> runs/eval_ours_ngpref.log 2>&1"),
@@ -172,7 +174,7 @@ QUEUE_R4 = [
               "--steps 1500 --lr 1e-4 --save_path runs/ref_refnerf.pkl "
               "runs/scene_shiny_train > runs/ref_refnerf.log 2>&1"),
          timeout=10800, log="runs/ref_refnerf.log", stall_secs=2400),
-    dict(name="ref_refnerf_eval",
+    dict(name="ref_refnerf_eval", requires=["runs/ref_refnerf.pkl"],
          cmd=(f"{EVAL} --batch_size 4096 --ref_nerf "
               "--model_path runs/ref_refnerf.pkl runs/scene_shiny_test "
               "> runs/eval_ref_refnerf.log 2>&1"),
@@ -197,7 +199,7 @@ QUEUE_R4 = [
               "--save_path runs/blender_e2e.pkl runs/scene_blender_train "
               ">> runs/blender_e2e.log 2>&1"),
          timeout=1800, stall_secs=1500, log="runs/blender_e2e.log"),
-    dict(name="blender_e2e_eval",
+    dict(name="blender_e2e_eval", requires=["runs/blender_e2e.pkl"],
          cmd=(f"{EVAL} --batch_size 4096 --occupancy "
               "--model_path runs/blender_e2e.pkl runs/scene_blender_test "
               ">> runs/blender_e2e.log 2>&1"),

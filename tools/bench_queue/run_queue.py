@@ -242,10 +242,18 @@ def _looks_wedged(reason, log_path):
 
 def run_item(item, state_dir, cooldown=45, deadline=None):
     """True = done, False = failed (marker written), None = deferred
-    (deadline would be crossed; no marker, a relaunch picks it up)."""
+    (deadline would be crossed, or an input from an earlier deferred item
+    is missing; no marker either way, a relaunch picks it up)."""
     name = item["name"]
     done_path = os.path.join(state_dir, f"{name}.done")
     fail_path = os.path.join(state_dir, f"{name}.fail")
+    missing = [p for p in item.get("requires", ()) if not os.path.exists(p)]
+    if missing:
+        # Typical case: a CPU item consuming artifacts of a TPU item that
+        # was itself deferred past the deadline.  Running it would fail
+        # and write a .fail marker that blocks the next auto-resume.
+        _log(f"item {name}: deferred (missing inputs: {', '.join(missing)})")
+        return None
     retries = item.get("retries", 2)
     log_path = item.get("log")
     is_tpu = item.get("tpu", True)
