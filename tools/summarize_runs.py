@@ -33,6 +33,32 @@ def train_stats(path):
     return statistics.median(steady), statistics.median(fines[-10:])
 
 
+def log_backend(path):
+    """'tpu' | 'cpu' | 'mixed' from a train log's own markers.
+
+    Each process run prints a "loading dataset..." header; TPU-env runs
+    additionally emit the axon plugin-registration warning, CPU-env runs
+    (PALLAS_AXON_POOL_IPS=) never do.  A resumed log can therefore mix
+    backends (e.g. chip segment + CPU resume after a relay outage) — the
+    table must say so rather than present one median rate as one backend.
+    """
+    runs = axon = 0
+    try:
+        with open(path, errors="replace") as f:
+            for ln in f:
+                if ln.startswith("loading dataset"):
+                    runs += 1
+                if "Platform 'axon' is experimental" in ln:
+                    axon += 1
+    except FileNotFoundError:
+        return None
+    if runs == 0:
+        return None
+    if axon == 0:
+        return "cpu"
+    return "tpu" if axon >= runs else "mixed"
+
+
 def mean_psnr(path):
     """(mean PSNR, mean SSIM or None) from an eval_psnr log."""
     p = s = None
@@ -115,13 +141,23 @@ def main():
         # (the reference NGPxRef baseline is device-bound only —
         # measure_ref_ngpref.log, surfaced by device_bound_rows below)
     ]
-    print("| config | rays/sec (end-to-end) | final fine MSE | test PSNR | SSIM |")
-    print("|---|---|---|---|---|")
+    print("| config | backend | rays/sec (end-to-end) | final fine MSE | "
+          "test PSNR | SSIM |")
+    print("|---|---|---|---|---|---|")
+    import os
+
+    def _variant(stem):
+        # A queue item that ran on the CPU backend during a chip outage
+        # writes <stem>_cpu.log; prefer the chip log when both exist.
+        return stem if os.path.exists(f"{d}/{stem}.log") else f"{stem}_cpu"
+
     for label, train, ev in rows:
+        train = _variant(train)
         rate, fine = train_stats(f"{d}/{train}.log")
-        psnr, ssim = mean_psnr(f"{d}/{ev}.log") if ev else (None, None)
+        backend = log_backend(f"{d}/{train}.log") or "—"
+        psnr, ssim = mean_psnr(f"{d}/{_variant(ev)}.log") if ev else (None, None)
         print(
-            f"| {label} | {fmt(rate)} | {fmt(fine, '.5f')} | "
+            f"| {label} | {backend} | {fmt(rate)} | {fmt(fine, '.5f')} | "
             f"{fmt(psnr, '.2f')} | {fmt(ssim, '.4f')} |"
         )
     device_bound_rows(d)
