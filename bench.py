@@ -272,6 +272,73 @@ def shell_grid_state(grid, radius=0.5, thickness_cells=1.5):
     )
 
 
+def frame_view():
+    """The canonical flagship-frame camera (shared with frame_matrix)."""
+    from learn_nerf_tpu.data.camera import CameraView
+
+    return CameraView(
+        camera_direction=(0.0, 0.0, 1.0), camera_origin=(0.0, 0.0, -3.0),
+        x_axis=(1.0, 0.0, 0.0), y_axis=(0.0, 1.0, 0.0),
+        x_fov=0.69, y_fov=0.69,
+    )
+
+
+def frame_session(bake_resolution, pack, candidates, samples,
+                  span_candidates, block_gather_stride, span_block_gather,
+                  tile, budget, eps, grid_resolution=128, bake_cache=None):
+    """Build the flagship inference frame workload (scene-free).
+
+    SINGLE definition of the random-init NGP model + shell grid + bake +
+    renderer + frame session, shared by :func:`bench_frame` (the driver's
+    ``frame_800_baked`` submetric) and ``tools/frame_matrix.py`` (the
+    per-lever decomposition rows) so the two can never drift apart.
+    ``bake_resolution=0`` keeps the live hash-grid field (no bake);
+    ``bake_cache`` (a dict) reuses bakes across sessions keyed by
+    (resolution, pack) — the 384^3 bake costs minutes on slow backends.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.acceleration import OccupancyGrid
+    from learn_nerf_tpu.baked import bake_instant_ngp
+    from learn_nerf_tpu.occ_render import (
+        OccupancyFrameSession,
+        OccupancyRenderer,
+    )
+
+    bbox = dict(bbox_min=(-1.0, -1.0, -1.0), bbox_max=(1.0, 1.0, 1.0))
+    model = ngp_model(16)
+    pts = jnp.zeros((8, 3))
+    params = model.init(jax.random.PRNGKey(0), pts, pts)["params"]
+
+    grid = OccupancyGrid(resolution=grid_resolution, **bbox)
+    grid_state = shell_grid_state(grid)
+
+    field, field_params = model, params
+    if bake_resolution:
+        key = (bake_resolution, pack)
+        if bake_cache is None or key not in bake_cache:
+            baked = bake_instant_ngp(
+                model, params, bake_resolution, dtype=jnp.bfloat16,
+                pack=pack, verbose=False,
+            )
+            if bake_cache is not None:
+                bake_cache[key] = baked
+        else:
+            baked = bake_cache[key]
+        field, field_params = baked
+    renderer = OccupancyRenderer(
+        model=field, grid=grid, candidates=candidates, samples=samples,
+        span_candidates=span_candidates,
+        block_gather_stride=block_gather_stride,
+        span_block_gather=span_block_gather, **bbox,
+    )
+    return OccupancyFrameSession(
+        renderer, field_params, jnp.zeros(3), grid_state,
+        budget_cfg=budget, tile_size=tile, transmittance_eps=eps,
+    )
+
+
 def bench_frame(size=800, reps=3, bake_resolution=384, pack=4,
                 grid_resolution=128, candidates=96, samples=32,
                 span_candidates=64, block_gather_stride=4,
@@ -293,41 +360,15 @@ def bench_frame(size=800, reps=3, bake_resolution=384, pack=4,
     rays/s on this chip (BASELINE.md: 5.6 min for 8 views at 400x400).
     """
     import jax
-    import jax.numpy as jnp
 
-    from learn_nerf_tpu.acceleration import OccupancyGrid
-    from learn_nerf_tpu.baked import bake_instant_ngp
-    from learn_nerf_tpu.data.camera import CameraView
-    from learn_nerf_tpu.occ_render import OccupancyFrameSession, OccupancyRenderer
-
-    bbox = dict(bbox_min=(-1.0, -1.0, -1.0), bbox_max=(1.0, 1.0, 1.0))
-    model = ngp_model(16)
-    pts = jnp.zeros((8, 3))
-    params = model.init(jax.random.PRNGKey(0), pts, pts)["params"]
-
-    grid = OccupancyGrid(resolution=grid_resolution, **bbox)
-    grid_state = shell_grid_state(grid)
-
-    baked, baked_params = bake_instant_ngp(
-        model, params, bake_resolution, dtype=jnp.bfloat16, pack=pack,
-        verbose=False,
-    )
-    renderer = OccupancyRenderer(
-        model=baked, grid=grid, candidates=candidates, samples=samples,
-        span_candidates=span_candidates,
+    session = frame_session(
+        bake_resolution=bake_resolution, pack=pack, candidates=candidates,
+        samples=samples, span_candidates=span_candidates,
         block_gather_stride=block_gather_stride,
-        span_block_gather=span_block_gather, **bbox,
+        span_block_gather=span_block_gather, tile=tile, budget="auto",
+        eps=1e-2, grid_resolution=grid_resolution,
     )
-    session = OccupancyFrameSession(
-        renderer, baked_params, jnp.zeros(3), grid_state,
-        budget_cfg="auto", tile_size=tile, transmittance_eps=1e-2,
-    )
-    view = CameraView(
-        camera_direction=(0.0, 0.0, 1.0), camera_origin=(0.0, 0.0, -3.0),
-        x_axis=(1.0, 0.0, 0.0), y_axis=(0.0, 1.0, 0.0),
-        x_fov=0.69, y_fov=0.69,
-    )
-    rays = view.bare_rays(size, size)
+    rays = frame_view().bare_rays(size, size)
     key = jax.random.PRNGKey(1)
     out = session.render(key, rays)  # compile + warmup (fetches a scalar)
     t0 = time.time()
@@ -416,13 +457,20 @@ def _device_watchdog(seconds: float):
 
 
 def main():
-    mode = os.environ.get("BENCH_MODE", "all")
+    # Comma-separated set, e.g. BENCH_MODE="occupancy,pooled,parity,vanilla"
+    # (the train submetrics without the frame bench — lets a measurement
+    # queue bound each piece's chip time separately; a timed-out bench
+    # prints nothing, so all-or-nothing "all" risks losing everything).
+    modes = set(os.environ.get("BENCH_MODE", "all").split(","))
     valid = ("all", "occupancy", "pooled", "parity", "vanilla", "frame")
-    if mode not in valid:
+    if not modes <= set(valid):
         # Fail fast (and BEFORE the device probe): an unknown mode would
         # otherwise fall through every branch and die on a bare KeyError
         # with no JSON line for the harness to parse.
-        raise SystemExit(f"BENCH_MODE={mode!r} not in {valid}")
+        raise SystemExit(f"BENCH_MODE={sorted(modes)!r} not all in {valid}")
+
+    def want(m):
+        return "all" in modes or m in modes
     # Probe the device with a trivial op under a watchdog BEFORE the real
     # benchmarks (their first compile legitimately takes minutes; the
     # probe answers in seconds on a healthy chip).
@@ -433,19 +481,19 @@ def main():
     float((probe @ probe).sum())
     cancel()
     sub = {}
-    if mode in ("all", "occupancy"):
+    if want("occupancy"):
         sub["instant_ngp_occupancy"] = bench_occupancy()
-    if mode in ("all", "pooled"):
+    if want("pooled"):
         sub["instant_ngp_pooled"] = bench_pooled()
-    if mode in ("all", "parity"):
+    if want("parity"):
         sub["instant_ngp_parity"] = bench_parity()
-    if mode in ("all", "vanilla"):
+    if want("vanilla"):
         sub["vanilla_parity"] = bench_vanilla()
         # The bf16-activation variant answers the roofline question for
         # the one memory-bound workload (see DESIGN.md section 3 "bf16
         # neutral" — re-measured here with the roofline attached).
         sub["vanilla_parity_bf16"] = bench_vanilla("bfloat16")
-    if mode in ("all", "frame"):
+    if want("frame"):
         # North-star inference frame (800x800, baked+span+block-gather);
         # last so a mid-bench kill still leaves the train submetrics
         # computed (the JSON line prints only at the end either way).
@@ -466,11 +514,18 @@ def main():
         metric = "train_rays_per_sec_instant_ngp_parity"
         unit = "rays/sec/chip (batch 4096, dense 64c+192f samples)"
         vs = headline["vs_reference_ngp"]
-    else:
+    elif "vanilla_parity" in sub:
         headline = sub["vanilla_parity"]
         metric = "train_rays_per_sec_vanilla_parity"
         unit = "rays/sec/chip (batch 4096, dense 64c+192f samples)"
         vs = headline["vs_reference_vanilla"]
+    else:  # frame-only run (BENCH_MODE=frame)
+        headline = sub["frame_800_baked"]
+        metric = "frame_seconds_800px_baked"
+        unit = "s/frame (800x800, baked NGP field, one chip)"
+        # Baseline: the reference's chunked host-loop render path measured
+        # at dense-eval rate (BASELINE.md) — higher is better for rays/s.
+        vs = headline["vs_reference_dense_eval"]
 
     print(
         json.dumps(

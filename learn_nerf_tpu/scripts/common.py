@@ -170,8 +170,10 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "gathers are count-bound, so stride k cuts selection gathers "
         "~k-fold; block-mismatch candidates conservatively count "
         "occupied (geometry is never dropped).  1 = bit-identical to "
-        "per-cell gathers; 2-4 trades a small occupied-overcount for "
-        "speed (0 = off)",
+        "per-cell gathers when the transmittance prune is off (with "
+        "--occ_t_eps > 0 the prune sees the block-max density, so it "
+        "can cut later candidates earlier); 2-4 trades a small "
+        "occupied-overcount for speed (0 = off)",
     )
     parser.add_argument(
         "--occ_span_block_gather",

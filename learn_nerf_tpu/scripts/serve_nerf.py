@@ -106,14 +106,23 @@ def make_server(args) -> ThreadingHTTPServer:
             except (KeyError, TypeError, ValueError) as e:
                 return self._json(400, {"error": f"bad request: {e}"})
             t0 = time.time()
-            with lock:  # one device program at a time
-                image = session.render_view(view, width=width, height=height)
-                session.images.clear()  # RenderSession accumulates for CLIs
-            from PIL import Image
+            try:
+                with lock:  # one device program at a time
+                    image = session.render_view(
+                        view, width=width, height=height
+                    )
+                    session.images.clear()  # RenderSession accumulates (CLIs)
+                from PIL import Image
 
-            buf = io.BytesIO()
-            Image.fromarray(image).save(buf, format="PNG")
-            body = buf.getvalue()
+                buf = io.BytesIO()
+                Image.fromarray(image).save(buf, format="PNG")
+                body = buf.getvalue()
+            except Exception as e:  # noqa: BLE001
+                # A render failure (NaN fov, degenerate axes — values the
+                # shape-level validation above can't see) must answer with
+                # a 500, not a dropped connection: a long-lived client
+                # needs to distinguish a bad view from a dead server.
+                return self._json(500, {"error": f"render failed: {e}"})
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(body)))

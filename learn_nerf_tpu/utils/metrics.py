@@ -8,8 +8,8 @@ measurement harness adds on top.
 SSIM follows Wang et al. 2004 ("Image quality assessment: from error
 visibility to structural similarity") with the canonical settings every
 NeRF paper uses: 11x11 Gaussian window (sigma 1.5), K1=0.01, K2=0.03,
-population (uniformly-weighted) local moments, per-channel map averaged
-over valid windows.  Pure numpy — no scipy/skimage dependency.
+Gaussian-weighted local moments (population normalization), per-channel
+map averaged over valid windows.  Pure numpy — no scipy/skimage dependency.
 """
 
 import numpy as np

@@ -114,6 +114,40 @@ def run_item_res(item, tmp_path, deadline):
                               deadline=deadline)
 
 
+def test_done_marker_with_missing_produces_reruns(tmp_path):
+    """A durable done marker whose declared outputs vanished (e.g. /tmp
+    cleared by a reboot) must rerun the producer, or every consumer's
+    missing-`requires` defer strands the queue forever."""
+    out = tmp_path / "vol" / "artifact.pkl"
+    out.parent.mkdir()
+    qdir = tmp_path / "repo" / "tools" / "q"
+    qdir.mkdir(parents=True)
+    spec = f"""
+QUEUES = {{"t": [
+    dict(name="prod", cmd="echo x >> {out}", tpu=False, timeout=30,
+         produces=["{out}"]),
+]}}
+"""
+    (qdir / "queues.py").write_text(spec)
+    (qdir / "run_queue.py").write_text(
+        open(os.path.join(os.path.dirname(run_queue.__file__),
+                          "run_queue.py")).read()
+    )
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    run = lambda: subprocess.run(
+        [sys.executable, str(qdir / "run_queue.py"), "t"],
+        env=env, capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert run().returncode == 0
+    assert out.read_text() == "x\n"
+    assert run().returncode == 0  # outputs intact: skipped
+    assert out.read_text() == "x\n"
+    out.unlink()  # "reboot": volatile output gone, marker still there
+    r = run()
+    assert r.returncode == 0 and "rerunning" in r.stdout
+    assert out.read_text() == "x\n"
+
+
 def test_missing_requires_defers_without_marker(tmp_path):
     """An item whose `requires` inputs are absent (e.g. a PSNR check on
     renders from a deferred TPU item) defers with NO marker instead of

@@ -119,3 +119,21 @@ def test_render_custom_resolution_and_validation(served):
     with pytest.raises(urllib.error.HTTPError) as err:
         _post(f"{base}/nope", b"{}")
     assert err.value.code == 404
+
+
+def test_render_failure_answers_500_not_dropped_connection(served):
+    """Values that pass the request-level validation but break the render
+    (an axis with the wrong arity only fails at ray-math shape checks)
+    must produce an HTTP 500, not a closed socket: a long-lived client
+    needs to tell a bad view from a dead server."""
+    base, scene, _ = served
+    with open(f"{scene}/0000.json") as f:
+        info = json.load(f)
+    info["x"] = [1.0, 0.0]  # wrong arity: raises inside ray generation
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(f"{base}/render", json.dumps(info).encode())
+    assert err.value.code == 500
+    assert "render failed" in json.loads(err.value.read())["error"]
+    # The server must still be alive and serving afterwards.
+    status, _ = _get(f"{base}/health")
+    assert status == 200

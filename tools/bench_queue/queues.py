@@ -25,11 +25,20 @@ _OCC_FLAGS = ("--instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 "
 
 QUEUE_R4 = [
     # ---- tier 0: minutes each, headline evidence --------------------------
+    # bench.py prints its JSON only at the end, so one all-modes run is
+    # all-or-nothing under a timeout: split the train submetrics from the
+    # frame bench so each piece's chip time is bounded separately.
     dict(name="bench_roofline",
-         cmd="python bench.py > runs/bench_r4.log 2>&1",
-         # 5 configs (occupancy/pooled/parity/vanilla/bf16), each with a
-         # cold ~2-5 min remote compile: budget generously.
+         cmd=("env BENCH_MODE=occupancy,pooled,parity,vanilla "
+              "python bench.py > runs/bench_r4.log 2>&1"),
+         # 5 train configs (occupancy/pooled/parity/vanilla/bf16), each
+         # with a cold ~2-5 min remote compile: budget generously.
          timeout=4200, log="runs/bench_r4.log"),
+    dict(name="bench_frame",
+         cmd=("env BENCH_MODE=frame "
+              "python bench.py > runs/bench_r4_frame.log 2>&1"),
+         # on-chip 384^3 bake + one cold compile per auto-budget bucket.
+         timeout=3600, log="runs/bench_r4_frame.log"),
     dict(name="baked_384_512",
          cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
          timeout=3600, log="runs/measure_baked.log"),
@@ -67,38 +76,38 @@ QUEUE_R4 = [
          timeout=2400, log="runs/eval_block_gather4.log"),
 
     # ---- tier 1: the /verify end-to-end drive (train+render on chip) ------
-    dict(name="verify_scene_write", tpu=False,
+    dict(name="verify_scene_write", produces=["/tmp/verify_scene/metadata.json"], tpu=False,
          cmd=(f"{CPUPFX} python -c \"import sys; sys.path.insert(0, '.');"
               "from tests.synthetic_scene import write_dataset;"
               "write_dataset('/tmp/verify_scene', num_views=8, resolution=32)\""
               " > runs/verify_r4.log 2>&1"),
          timeout=600),
-    dict(name="verify_train_dense",
+    dict(name="verify_train_dense", produces=["/tmp/verify_nerf.pkl"],
          cmd=(f"rm -f /tmp/verify_nerf.pkl && {TRAIN} {_VERIFY_TRAIN_FLAGS} --coarse_samples 16 "
               "--fine_samples 16 --steps 600 --save_path /tmp/verify_nerf.pkl "
               "/tmp/verify_scene >> runs/verify_r4.log 2>&1"),
          timeout=1200, stall_secs=900, log="runs/verify_r4.log"),
-    dict(name="verify_render_dense", requires=["/tmp/verify_nerf.pkl"],
+    dict(name="verify_render_dense", produces=["/tmp/verify_out.png"], requires=["/tmp/verify_nerf.pkl"],
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 --coarse_samples 16 "
               "--fine_samples 16 --width 32 --height 32 "
               "--model_path /tmp/verify_nerf.pkl /tmp/verify_scene/metadata.json "
               "/tmp/verify_scene/0000.json /tmp/verify_out.png "
               ">> runs/verify_r4.log 2>&1"),
          timeout=900, log="runs/verify_r4.log"),
-    dict(name="verify_train_occ",
+    dict(name="verify_train_occ", produces=["/tmp/verify_ngp.pkl"],
          cmd=(f"rm -f /tmp/verify_ngp.pkl && {TRAIN} {_VERIFY_TRAIN_FLAGS} {_OCC_FLAGS} "
               "--occ_train_budget auto --occ_train_budget_start 300 --steps 600 "
               "--save_path /tmp/verify_ngp.pkl /tmp/verify_scene "
               ">> runs/verify_r4.log 2>&1"),
          timeout=1200, stall_secs=900, log="runs/verify_r4.log"),
-    dict(name="verify_render_occ", requires=["/tmp/verify_ngp.pkl"],
+    dict(name="verify_render_occ", produces=["/tmp/verify_occ.png"], requires=["/tmp/verify_ngp.pkl"],
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 {_OCC_FLAGS} "
               "--occ_budget_per_ray auto --width 32 --height 32 "
               "--model_path /tmp/verify_ngp.pkl /tmp/verify_scene/metadata.json "
               "/tmp/verify_scene/0000.json /tmp/verify_occ.png "
               ">> runs/verify_r4.log 2>&1"),
          timeout=900, log="runs/verify_r4.log"),
-    dict(name="verify_render_baked", requires=["/tmp/verify_ngp.pkl"],
+    dict(name="verify_render_baked", produces=["/tmp/verify_baked.png"], requires=["/tmp/verify_ngp.pkl"],
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 {_OCC_FLAGS} "
               "--occ_budget_per_ray auto --baked 128 --baked_pack 2 "
               "--width 32 --height 32 --model_path /tmp/verify_ngp.pkl "

@@ -375,8 +375,18 @@ def main(argv=None):
             done = os.path.join(state_dir, f"{it['name']}.done")
             fail = os.path.join(state_dir, f"{it['name']}.fail")
             if os.path.exists(done):
-                n_skip += 1
-                continue
+                # A durable done marker can outlive volatile outputs (e.g.
+                # /tmp artifacts after a reboot).  Skipping then would
+                # strand every consumer in its missing-`requires` defer
+                # forever, so rerun the producer instead.
+                gone = [p for p in it.get("produces", ())
+                        if not os.path.exists(p)]
+                if not gone:
+                    n_skip += 1
+                    continue
+                _log(f"item {it['name']}: done marker present but outputs "
+                     f"missing ({', '.join(gone)}) — rerunning")
+                os.unlink(done)
             if os.path.exists(fail) and not args.retry_failed:
                 _log(f"item {it['name']}: has .fail marker, skipping "
                      f"(use --retry-failed)")

@@ -29,12 +29,13 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # name -> overrides on BASE (bake=0 means live hash-grid field).
 CONFIGS = {
@@ -61,42 +62,18 @@ _BAKE_CACHE = {}
 
 
 def build_session(cfg, size, tile, budget, eps):
-    import jax
-    import jax.numpy as jnp
+    # The workload itself is bench.frame_session — ONE definition shared
+    # with the frame_800_baked submetric, so the decomposition rows here
+    # measure exactly the program the headline bench times.
+    from bench import frame_session
 
-    from bench import ngp_model, shell_grid_state
-    from learn_nerf_tpu.acceleration import OccupancyGrid
-    from learn_nerf_tpu.baked import bake_instant_ngp
-    from learn_nerf_tpu.occ_render import OccupancyFrameSession, OccupancyRenderer
-
-    bbox = dict(bbox_min=(-1.0, -1.0, -1.0), bbox_max=(1.0, 1.0, 1.0))
-    model = ngp_model(16)
-    pts = jnp.zeros((8, 3))
-    params = model.init(jax.random.PRNGKey(0), pts, pts)["params"]
-
-    # Surface-like synthetic grid (see bench.shell_grid_state: a random
-    # fog grid triples survivor demand under span tightening).
-    grid = OccupancyGrid(resolution=128, **bbox)
-    grid_state = shell_grid_state(grid)
-
-    field, field_params = model, params
-    if cfg["bake"]:
-        bkey = (cfg["bake"], cfg["pack"])
-        if bkey not in _BAKE_CACHE:
-            _BAKE_CACHE[bkey] = bake_instant_ngp(
-                model, params, cfg["bake"], dtype=jnp.bfloat16,
-                pack=cfg["pack"], verbose=False,
-            )
-        field, field_params = _BAKE_CACHE[bkey]
-    renderer = OccupancyRenderer(
-        model=field, grid=grid, candidates=cfg["candidates"],
-        samples=cfg["samples"], span_candidates=cfg["span_candidates"],
+    return frame_session(
+        bake_resolution=cfg["bake"], pack=cfg["pack"],
+        candidates=cfg["candidates"], samples=cfg["samples"],
+        span_candidates=cfg["span_candidates"],
         block_gather_stride=cfg["block_gather"],
-        span_block_gather=cfg["span_block_gather"], **bbox,
-    )
-    return OccupancyFrameSession(
-        renderer, field_params, jnp.zeros(3), grid_state,
-        budget_cfg=budget, tile_size=tile, transmittance_eps=eps,
+        span_block_gather=cfg["span_block_gather"],
+        tile=tile, budget=budget, eps=eps, bake_cache=_BAKE_CACHE,
     )
 
 
@@ -129,15 +106,10 @@ def main():
 
     import jax
 
-    from learn_nerf_tpu.data.camera import CameraView
+    from bench import frame_view
 
     backend = jax.devices()[0].platform
-    view = CameraView(
-        camera_direction=(0.0, 0.0, 1.0), camera_origin=(0.0, 0.0, -3.0),
-        x_axis=(1.0, 0.0, 0.0), y_axis=(0.0, 1.0, 0.0),
-        x_fov=0.69, y_fov=0.69,
-    )
-    rays = view.bare_rays(args.size, args.size)
+    rays = frame_view().bare_rays(args.size, args.size)
     key = jax.random.PRNGKey(1)
 
     rows, base_secs = {}, None
