@@ -203,7 +203,7 @@ def bake_instant_ngp(
             cx = ids % r
             cy = ids // r
             coords = jnp.stack(
-                [cx, cy, jnp.full_like(cx, 0) + z], axis=-1
+                [cx, cy, jnp.full_like(cx, z)], axis=-1
             ).astype(jnp.float32)
             pts = bbox_min + coords / (r - 1) * (bbox_max - bbox_min)
             feats = model.apply(

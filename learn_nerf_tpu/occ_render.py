@@ -154,6 +154,24 @@ class OccupancyRenderer:
     # lever is moot anyway.
     span_block_gather: int = 0
 
+    def __post_init__(self):
+        # The renderer bbox drives ray t-ranges and span probes; the
+        # grid's bbox drives cell/block quantization.  If they disagree,
+        # candidates quantize into border cells and the span-probe
+        # conservativeness bound silently stops holding (occupied
+        # supercells can be skipped, geometry rendering as background
+        # with no error) — so disagreement is a constructor error.
+        if tuple(map(float, self.bbox_min)) != tuple(
+            map(float, self.grid.bbox_min)
+        ) or tuple(map(float, self.bbox_max)) != tuple(
+            map(float, self.grid.bbox_max)
+        ):
+            raise ValueError(
+                f"OccupancyRenderer bbox {self.bbox_min}..{self.bbox_max} "
+                f"must equal its grid's bbox "
+                f"{self.grid.bbox_min}..{self.grid.bbox_max}"
+            )
+
     def render_rays(
         self,
         key: jax.Array,
@@ -162,6 +180,7 @@ class OccupancyRenderer:
         background: Array,
         grid_state: OccupancyGridState,
         transmittance_eps: float = 0.0,
+        tables: Optional[Dict[str, Array]] = None,
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
         """Render rays with occupancy-culled sampling (fixed ``[N, K]``).
 
@@ -170,13 +189,16 @@ class OccupancyRenderer:
         grid-transmittance prune apply here too; both default off.
 
         :param rays: ``[N, 2, 3]`` (origin, direction).
+        :param tables: optional precomputed :meth:`selection_tables`
+            (per-frame callers hoist them out of their tile loop).
         :return: ``(out, aux_means)`` — out keys: ``outputs [N,3]``,
                  ``densities [N,K]``, ``alphas [N,1]``, ``coords [N,3]``,
-                 ``weights [N,K+1]``, ``ts [N,K]``, ``sample_mask [N,K]``.
+                 ``weights [N,K+1]``, ``ts [N,K]``, ``sample_mask [N,K]``,
+                 ``rgbs [N,K,3]``.
         """
         origins, dirs = rays[:, 0], rays[:, 1]
         cand_ts, occ, dt0, mask = self._select_candidates(
-            key, rays, grid_state, transmittance_eps
+            key, rays, grid_state, transmittance_eps, tables=tables
         )
 
         sel_ts, sel_mask, delta_scale = compact_occupied_strided(
@@ -213,12 +235,54 @@ class OccupancyRenderer:
             aux_means,
         )
 
+    def selection_tables(self, grid_state: OccupancyGridState) -> Dict[str, Array]:
+        """Precompute the frame-invariant selection tables.
+
+        The packed block-word table and the dilated span supergrid (plus
+        its packed variant) are pure ~``resolution^3`` reductions of
+        ``grid_state.densities``.  Built inline they sit inside
+        :func:`render_frame_occupancy`'s ``lax.map`` body, where avoiding
+        a per-tile recompute depends on XLA hoisting them out of the scan
+        loop; building them once per frame here and passing the dict
+        through ``tables=`` makes the saving certain.  Returns exactly
+        the keys the configured levers need (empty when none are on) —
+        every consumer rebuilds inline when its key is absent, so the
+        parameter is always optional.
+        """
+        tables: Dict[str, Array] = {}
+        densities = jax.lax.stop_gradient(grid_state.densities)
+        if self.block_gather_stride > 0:
+            from .acceleration import pack_block_table
+
+            tables["block"] = pack_block_table(
+                densities, self.grid.resolution, self.grid.threshold
+            )
+        if self.span_candidates > 0 and self.grid.resolution % self.span_pool_factor == 0:
+            from .acceleration import (
+                BLOCK_DIMS,
+                dilate_supercells,
+                pack_block_table,
+                superpool_densities,
+            )
+
+            rs = self.grid.resolution // self.span_pool_factor
+            sup = superpool_densities(
+                densities, self.grid.resolution, self.span_pool_factor
+            )
+            tables["span_sup"] = dilate_supercells(sup, rs)
+            if self.span_block_gather > 0 and all(rs % d == 0 for d in BLOCK_DIMS):
+                tables["span_block"] = pack_block_table(
+                    tables["span_sup"], rs, self.grid.threshold
+                )
+        return tables
+
     def _select_candidates(
         self,
         key: jax.Array,
         rays: Array,
         grid_state: OccupancyGridState,
         transmittance_eps: float = 0.0,
+        tables: Optional[Dict[str, Array]] = None,
     ):
         """THE pooled-path candidate selection, in one place.
 
@@ -238,13 +302,15 @@ class OccupancyRenderer:
         )
         if self.span_candidates > 0:
             t_min, t_max, span_hit = self._occupied_span(
-                origins, dirs, t_min, t_max, grid_state
+                origins, dirs, t_min, t_max, grid_state, tables=tables
             )
             mask = mask & span_hit
         cand_ts = stratified_ts(key, t_min, t_max, self.candidates)
         cand_pts = origins[:, None, :] + dirs[:, None, :] * cand_ts[..., None]
         if self.block_gather_stride > 0:
-            occ, d_grid = self._block_word_occupancy(cand_pts, grid_state)
+            occ, d_grid = self._block_word_occupancy(
+                cand_pts, grid_state, table=(tables or {}).get("block")
+            )
         else:
             cell_idx = self.grid.cell_indices(cand_pts)
             d_grid = jax.lax.stop_gradient(grid_state.densities)[cell_idx]
@@ -261,7 +327,10 @@ class OccupancyRenderer:
         return cand_ts, occ, dt, mask
 
     def _block_word_occupancy(
-        self, cand_pts: Array, grid_state: OccupancyGridState
+        self,
+        cand_pts: Array,
+        grid_state: OccupancyGridState,
+        table: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """Candidate occupancy + prune densities from packed block words.
 
@@ -275,12 +344,13 @@ class OccupancyRenderer:
             block-max density (0 where unoccupied), feeding the same
             transmittance prune as the per-cell path.
         """
-        from .acceleration import pack_block_table
+        if table is None:
+            from .acceleration import pack_block_table
 
-        densities = jax.lax.stop_gradient(grid_state.densities)
-        table = pack_block_table(
-            densities, self.grid.resolution, self.grid.threshold
-        )
+            densities = jax.lax.stop_gradient(grid_state.densities)
+            table = pack_block_table(
+                densities, self.grid.resolution, self.grid.threshold
+            )
         widx_c, bit_c = self.grid.block_indices(cand_pts)  # [N, C] each
         bit, d_c, matched = _bracketed_block_words(
             widx_c, bit_c, table, self.block_gather_stride
@@ -300,6 +370,7 @@ class OccupancyRenderer:
         t_min: Array,
         t_max: Array,
         grid_state: OccupancyGridState,
+        tables: Optional[Dict[str, Array]] = None,
     ) -> Tuple[Array, Array, Array]:
         """Phase-1 of two-phase selection: tighten ``[t_min, t_max]`` to
         the occupied span per the max-pooled supergrid.
@@ -369,9 +440,11 @@ class OccupancyRenderer:
                 f"--occ_span_pool_factor."
             )
         n_coarse = self.span_candidates
-        densities = jax.lax.stop_gradient(grid_state.densities)
-        sup = superpool_densities(densities, self.grid.resolution, factor)
-        sup = dilate_supercells(sup, rs)  # grazing-ray conservativeness
+        sup = (tables or {}).get("span_sup")
+        if sup is None:
+            densities = jax.lax.stop_gradient(grid_state.densities)
+            sup = superpool_densities(densities, self.grid.resolution, factor)
+            sup = dilate_supercells(sup, rs)  # grazing-ray conservativeness
 
         # Midpoint samples of n_coarse equal bins (deterministic; the
         # conservative pad below covers corner-grazed supercells).
@@ -395,9 +468,11 @@ class OccupancyRenderer:
             # WIDENS the span — phase 2 re-tests every candidate at full
             # resolution, so no geometry can be lost.  Warmup mirrors
             # occupied_from_densities.
-            from .acceleration import pack_block_table
+            table = (tables or {}).get("span_block")
+            if table is None:
+                from .acceleration import pack_block_table
 
-            table = pack_block_table(sup, rs, self.grid.threshold)
+                table = pack_block_table(sup, rs, self.grid.threshold)
             widx, bitidx = supergrid.block_indices(pts)
             bit, _, matched = _bracketed_block_words(
                 widx, bitidx, table, self.span_block_gather
@@ -433,6 +508,7 @@ class OccupancyRenderer:
         rays: Array,
         grid_state: OccupancyGridState,
         transmittance_eps: float = 0.0,
+        tables: Optional[Dict[str, Array]] = None,
     ) -> Array:
         """Mean per-ray survivor count a pooled pass would see.
 
@@ -441,7 +517,7 @@ class OccupancyRenderer:
         ``"auto"`` pool budgets from a real batch.
         """
         _, occ, _, _ = self._select_candidates(
-            key, rays, grid_state, transmittance_eps
+            key, rays, grid_state, transmittance_eps, tables=tables
         )
         c = jnp.sum(occ.astype(jnp.float32), axis=1)
         return jnp.mean(jnp.minimum(c, float(self.samples)))
@@ -455,6 +531,7 @@ class OccupancyRenderer:
         grid_state: OccupancyGridState,
         budget: int,
         transmittance_eps: float = 0.0,
+        tables: Optional[Dict[str, Array]] = None,
     ) -> Dict[str, Array]:
         """Inference fast path: pooled compaction + approximate early
         ray termination.
@@ -497,7 +574,7 @@ class OccupancyRenderer:
         origins, dirs = rays[:, 0], rays[:, 1]
         n = origins.shape[0]
         cand_ts, occ, dt, mask = self._select_candidates(
-            key, rays, grid_state, transmittance_eps
+            key, rays, grid_state, transmittance_eps, tables=tables
         )
 
         # Per-ray cap first (same strided-K semantics as render_rays),
@@ -815,7 +892,7 @@ def render_frame_occupancy(
         rays_t = rays_p.reshape(num_tiles, tile_size, 2, 3)
     keys = jax.random.split(key, num_tiles)
 
-    def tile_fn(params, background, grid_state, args):
+    def tile_fn(params, background, grid_state, tables, args):
         k, r = args
         if budget_per_ray is not None:
             out = renderer.render_rays_pooled(
@@ -826,11 +903,12 @@ def render_frame_occupancy(
                 grid_state,
                 budget=int(tile_size * budget_per_ray),
                 transmittance_eps=transmittance_eps,
+                tables=tables,
             )
         else:
             out, _ = renderer.render_rays(
                 k, r, params, background, grid_state,
-                transmittance_eps=transmittance_eps,
+                transmittance_eps=transmittance_eps, tables=tables,
             )
         res = dict(outputs=out["outputs"])
         if budget_per_ray is not None:
@@ -840,8 +918,11 @@ def render_frame_occupancy(
         return res
 
     def scan_tiles(keys, rays_t, params, background, grid_state):
+        # Frame-invariant selection tables built ONCE, outside the tile
+        # scan (inside shard_map they are replicated per-shard work).
+        tables = renderer.selection_tables(grid_state)
         return jax.lax.map(
-            lambda args: tile_fn(params, background, grid_state, args),
+            lambda args: tile_fn(params, background, grid_state, tables, args),
             (keys, rays_t),
         )
 
