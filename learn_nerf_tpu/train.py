@@ -423,6 +423,45 @@ class TrainLoop:
         self.state = jax.device_put(state, replicated_sharding(self.mesh))
 
 
+def _single_model_loss_tail(
+    renderer: OccupancyRenderer,
+    params: Dict[str, Any],
+    density_key: jax.Array,
+    outputs: Array,
+    aux: Dict[str, Array],
+    targets: Array,
+    loss_weights: Dict[str, float],
+    density_penalty: Optional[float],
+    density_penalty_batch_size: int,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Shared loss assembly for the single-field occupancy paths.
+
+    ONE definition of MSE + weighted aux + optional density penalty (the
+    ``fine``-prefixed log contract), used by both
+    :func:`compute_losses_occupancy` and
+    :func:`compute_losses_occupancy_pooled` so the loss contract cannot
+    drift between the dense and pooled training paths.
+    """
+    fine_loss = jnp.mean((outputs - targets) ** 2)
+    loss_dict = dict(fine=fine_loss)
+    total = fine_loss
+    for name, value in aux.items():
+        loss_dict[f"fine_{name}"] = value
+        total = total + loss_weights[name] * value
+    if density_penalty is not None:
+        penalty = average_density(
+            density_key,
+            renderer.model,
+            params["fine"],
+            jnp.asarray(renderer.bbox_min, dtype=jnp.float32),
+            jnp.asarray(renderer.bbox_max, dtype=jnp.float32),
+            density_penalty_batch_size,
+        )
+        loss_dict["fine_density"] = penalty
+        total = total + density_penalty * penalty
+    return total, loss_dict
+
+
 def compute_losses_occupancy(
     renderer: OccupancyRenderer,
     params: Dict[str, Any],
@@ -444,25 +483,10 @@ def compute_losses_occupancy(
     out, aux = renderer.render_rays(
         key, batch[:, :2], params["fine"], params["background"], grid_state
     )
-    targets = batch[:, 2]
-    fine_loss = jnp.mean((out["outputs"] - targets) ** 2)
-    loss_dict = dict(fine=fine_loss)
-    total = fine_loss
-    for name, value in aux.items():
-        loss_dict[f"fine_{name}"] = value
-        total = total + loss_weights[name] * value
-    if density_penalty is not None:
-        penalty = average_density(
-            density_key,
-            renderer.model,
-            params["fine"],
-            jnp.asarray(renderer.bbox_min, dtype=jnp.float32),
-            jnp.asarray(renderer.bbox_max, dtype=jnp.float32),
-            density_penalty_batch_size,
-        )
-        loss_dict["fine_density"] = penalty
-        total = total + density_penalty * penalty
-    return total, loss_dict
+    return _single_model_loss_tail(
+        renderer, params, density_key, out["outputs"], aux, batch[:, 2],
+        loss_weights, density_penalty, density_penalty_batch_size,
+    )
 
 
 def compute_losses_occupancy_pooled(
@@ -493,24 +517,17 @@ def compute_losses_occupancy_pooled(
         key, batch[:, :2], params["fine"], params["background"], grid_state,
         budget=budget, transmittance_eps=transmittance_eps,
     )
-    targets = batch[:, 2]
-    fine_loss = jnp.mean((out["outputs"] - targets) ** 2)
-    loss_dict = dict(fine=fine_loss)
-    total = fine_loss
-    for name, value in out["aux"].items():
-        loss_dict[f"fine_{name}"] = value
-        total = total + loss_weights[name] * value
-    if density_penalty is not None:
-        penalty = average_density(
-            density_key,
-            renderer.model,
-            params["fine"],
-            jnp.asarray(renderer.bbox_min, dtype=jnp.float32),
-            jnp.asarray(renderer.bbox_max, dtype=jnp.float32),
-            density_penalty_batch_size,
-        )
-        loss_dict["fine_density"] = penalty
-        total = total + density_penalty * penalty
+    total, loss_dict = _single_model_loss_tail(
+        renderer, params, density_key, out["outputs"], out["aux"],
+        batch[:, 2], loss_weights, density_penalty,
+        density_penalty_batch_size,
+    )
+    # No-silent-caps during TRAINING too: an undersized pool drops the
+    # trailing rays' samples (gradient starvation on those rays), which
+    # was previously invisible — the counter now rides the step metrics
+    # (``fine_pool_dropped=0`` in healthy runs; the auto budget
+    # re-measures demand periodically but can lag a grid refresh).
+    loss_dict["fine_pool_dropped"] = out["dropped"]
     return total, loss_dict
 
 

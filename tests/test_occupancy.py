@@ -586,10 +586,14 @@ def test_pooled_training_step_switch():
 
     key = jax.random.PRNGKey(1)
     losses = []
-    for _ in range(8):
+    for i in range(8):
         key, sk = jax.random.split(key)
         vals = loop.step(sk, batch)
         losses.append(float(vals["fine"]))
+        if i >= 3:  # pooled steps surface the no-silent-caps counter
+            assert int(vals["fine_pool_dropped"]) == 0  # ample budget
+        else:
+            assert "fine_pool_dropped" not in vals
     assert loop._host_step == 8
     # still learning after the switch (loss finite and decreased overall)
     assert np.isfinite(losses).all()
