@@ -7,15 +7,19 @@ marker), then each epoch permutes the shard order and the rows within each
 shard, concatenating remainders across shard boundaries.
 
 Multi-host generalization (the reference is single-process): each process
-owns the views with ``index % process_count == process_id`` and writes its
-shards under ``host_{process_id}/``, so every host streams a disjoint ray
+writes its shards under ``host_{process_id}/`` and streams a disjoint ray
 subset with no cross-host I/O — the per-host batches then join into one
 globally-sharded array at the jit boundary
-(``parallel.mesh.global_batch_from_local``).  With MORE processes than
-views, sharding whole views would leave some hosts with zero rays; the
-partition then switches to ray-level striding (every process reads every
-view but keeps rays ``process_id::process_count``) — still disjoint and
-complete.
+(``parallel.mesh.global_batch_from_local``).  The partition is RAY-level
+striding (every process reads every view at build time but keeps rays
+``process_id::process_count``): pools are equal to ±1 ray, so the equal
+per-step quota each host contributes samples every ray uniformly.
+Splitting whole views across hosts (the obvious alternative) gives
+unequal pools whenever ``process_count`` does not divide the view list —
+rays on ray-poor hosts would then be oversampled every step, and
+``repeat=False`` streams would exhaust at different times per host.  The
+cost is one full-dataset decode per host during the one-time cache
+build.
 
 The ``done`` marker stores a signature of (view list, num_shards,
 process_count): a cache built for a different dataset layout invalidates
@@ -57,7 +61,14 @@ def _cache_signature(
     for a fully seed-determined stream.
     """
     h = hashlib.md5()
-    h.update(f"v4:{num_shards}:{process_count}:{len(views)}".encode())
+    tag = f"v4:{num_shards}:{process_count}:"
+    if process_count > 1:
+        # Multi-host caches built before ray-striding became the only
+        # partition (view-level splits gave unequal pools) must rebuild;
+        # single-host signatures stay byte-identical (their contents are
+        # unchanged, and the 92 s compound-scene cache stays valid).
+        tag += "ray-stride:"
+    h.update(f"{tag}{len(views)}".encode())
     for view in views:
         path = str(getattr(view, "image_path", ""))
         h.update(path.encode())
@@ -112,16 +123,22 @@ class ShuffledDataset:
         if self._cache_valid(done_path, signature, paths):
             self.fds = [open(p, "rb") for p in paths]
         else:
+            # Drop any stale marker BEFORE truncating the shard files: a
+            # rebuild killed mid-way must not leave an old signature that
+            # re-validates over torn shards if the dataset is later
+            # restored to the state the marker describes.
+            if os.path.exists(done_path):
+                os.remove(done_path)
             self.fds = [open(p, "wb+") for p in paths]
-            if process_count > len(dataset.views):
-                # Ray-level striding: every view, rays pid::pcount each.
+            if process_count > 1:
+                # Ray-level striding: every view, rays pid::pcount each
+                # (equal pools ±1; see the module docstring for why
+                # view-level splits are wrong).
                 self._create_shards(
                     dataset.views, ray_stride=(process_id, process_count)
                 )
             else:
-                self._create_shards(
-                    dataset.views[process_id::process_count]
-                )
+                self._create_shards(dataset.views)
             # Flush + fsync every shard BEFORE the done marker: the fds
             # stay open for the whole run, and a killed process (wedged
             # chip, manual kill mid-compile — routine in this workflow)

@@ -36,6 +36,14 @@ class HashGridEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if len(self.table_sizes) != len(self.grid_sizes):
+            # zip() below would silently truncate to the shorter list —
+            # a model quietly training with fewer levels than configured.
+            raise ValueError(
+                f"table_sizes ({len(self.table_sizes)}) and grid_sizes "
+                f"({len(self.grid_sizes)}) must list the same number of "
+                f"levels"
+            )
         tables = [
             self.param(
                 f"table_{i}",

@@ -120,8 +120,12 @@ def test_rays_are_normalized():
     )
 
 
-def test_multihost_shuffle_disjoint():
-    """Per-process shards cover disjoint view subsets exactly once."""
+def test_multihost_shuffle_disjoint_and_balanced():
+    """Per-process shards cover every ray exactly once with pools equal
+    to ±1 — ray-level striding, NOT view splits: with 5 views on 2 hosts
+    a view split would give one host 1.5x the rays, and the equal
+    per-step quota each host contributes would oversample the other
+    host's views every batch."""
     from learn_nerf_tpu.data.shuffle import ShuffledDataset
 
     views = make_views(5)
@@ -140,12 +144,19 @@ def test_multihost_shuffle_disjoint():
                 rows[pid] = np.concatenate(list(sd.iterate_batches(16)))
         total = sum(v.shape[0] * v.shape[1] for v in views)
         assert rows[0].shape[0] + rows[1].shape[0] == total
-        # Host 0 gets views 0, 2, 4; host 1 gets views 1, 3.
-        for pid, expect_views in ((0, [0, 2, 4]), (1, [1, 3])):
+        assert abs(rows[0].shape[0] - rows[1].shape[0]) <= 1  # balanced
+        # Disjoint and complete at ray granularity.
+        def keys(r):
+            return {tuple(np.round(row.reshape(-1), 4)) for row in r}
+
+        k0, k1 = keys(rows[0]), keys(rows[1])
+        assert not (k0 & k1)
+        # Every host sees rays from EVERY view (striding, not splitting).
+        for pid in range(2):
             origins = {tuple(np.round(r, 4)) for r in rows[pid][:, 0]}
             expected = {
-                tuple(np.round(np.asarray(views[i].camera_origin, np.float32), 4))
-                for i in expect_views
+                tuple(np.round(np.asarray(v.camera_origin, np.float32), 4))
+                for v in views
             }
             assert origins == expected
 
@@ -307,6 +318,47 @@ def test_shuffle_cache_invalidates_on_pose_change():
     sig_a = _cache_signature([view((0.0, 0.0, -3.0))], 4, 1)
     assert sig_a == _cache_signature([view((0.0, 0.0, -3.0))], 4, 1)
     assert sig_a != _cache_signature([view((0.0, 0.1, -3.0))], 4, 1)
+
+
+def test_stale_marker_removed_before_rebuild_truncates(tmp_path):
+    """A rebuild must drop the old done marker BEFORE truncating shards:
+    killed mid-rebuild with the old marker still on disk, a later run
+    whose dataset matches the old signature would validate the marker
+    over torn shard files and silently train on a fraction of the rays."""
+    from learn_nerf_tpu.data.shuffle import ShuffledDataset
+
+    views = make_views(2)
+    data = NeRFDataset(
+        metadata=ModelMetadata(bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1)),
+        views=views,
+    )
+    tmp = str(tmp_path)
+    with ShuffledDataset(tmp, data, seed=0, num_shards=2) as sd:
+        list(sd.iterate_batches(64))
+    done = os.path.join(tmp, "done")
+    assert os.path.exists(done)
+
+    # Change the dataset (new view list) so the signature mismatches and
+    # a rebuild starts — and make the rebuild die mid-way.
+    data2 = NeRFDataset(metadata=data.metadata, views=make_views(3))
+    import pytest
+
+    from learn_nerf_tpu.data import shuffle as shuffle_mod
+
+    def boom(self, *a, **k):
+        # The marker must already be gone by the time shards are built.
+        assert not os.path.exists(done)
+        raise RuntimeError("killed mid-rebuild")
+
+    orig = shuffle_mod.ShuffledDataset._create_shards
+    shuffle_mod.ShuffledDataset._create_shards = boom
+    try:
+        with pytest.raises(RuntimeError):
+            ShuffledDataset(tmp, data2, seed=0, num_shards=2)
+    finally:
+        shuffle_mod.ShuffledDataset._create_shards = orig
+    # The torn cache must NOT validate for either dataset state.
+    assert not os.path.exists(done)
 
 
 def test_legacy_cache_always_rebuilds(tmp_path):
