@@ -167,6 +167,23 @@ def hash_grid_encode(
     :param smooth: C1 interpolation mode.
     :return: ``[..., L * F]`` features.
     """
+    if not (len(tables) == len(grid_sizes) == len(table_sizes)):
+        # zip/slice below would silently drop the surplus levels — a model
+        # quietly encoding with fewer levels than its parameter tables.
+        raise ValueError(
+            f"level lists disagree: {len(tables)} tables, "
+            f"{len(grid_sizes)} grid_sizes, {len(table_sizes)} table_sizes"
+        )
+    for level, (table, g, t) in enumerate(zip(tables, grid_sizes, table_sizes)):
+        rows = dense_level_rows(g, t)
+        if table.shape[0] != rows:
+            # The fused path gathers with promise_in_bounds over
+            # concatenated tables: an undersized table would silently
+            # read the NEXT level's rows (the non-fused path would NaN).
+            raise ValueError(
+                f"level {level}: table has {table.shape[0]} rows, but "
+                f"grid {g} / table_size {t} implies {rows}"
+            )
     if not fuse_levels:
         groups = (
             _level_groups(grid_sizes, table_sizes)
