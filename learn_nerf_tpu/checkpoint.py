@@ -28,6 +28,15 @@ def _atomic_write(path: str, data: bytes) -> None:
         # good checkpoint with a truncated file.
         os.fsync(f.fileno())
     os.rename(tmp, path)
+    # fsync the DIRECTORY too: the rename is a directory-entry update, so
+    # a power loss after this function returns could otherwise roll the
+    # path back to the previous checkpoint — and a resume would silently
+    # replay steps the caller believed were persisted.
+    dir_fd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
 
 def save_params_pickle(path: str, params: Any) -> None:
@@ -64,9 +73,7 @@ def import_reference_params(params: Any) -> Any:
                 out[key] = fix_model(value)
         return out
 
-    return {
-        k: fix_model(v) if isinstance(v, dict) else v for k, v in params.items()
-    }
+    return fix_model(params)
 
 
 def _is_reference_tree(params: Any) -> bool:

@@ -64,13 +64,19 @@ def marching_tetrahedra(
         x1 = min(cx, x0 + slab)
         base = np.stack(
             np.meshgrid(
-                np.arange(x0, x1), np.arange(cy), np.arange(cz), indexing="ij"
+                np.arange(x0, x1, dtype=np.int32),
+                np.arange(cy, dtype=np.int32),
+                np.arange(cz, dtype=np.int32),
+                indexing="ij",
             ),
             axis=-1,
         ).reshape(-1, 3)
 
         # Field values at the 8 corners of every slab cell: [C, 8].
-        corner_coords = base[:, None, :] + _CORNERS[None, :, :]
+        # int32 coords: the [C, 8, 3] index tensor is the slab loop's
+        # peak allocation (~400 MB at the 2^22 slab), and grid axes are
+        # nowhere near 2^31.
+        corner_coords = base[:, None, :] + _CORNERS[None, :, :].astype(np.int32)
         vals = volume[
             corner_coords[..., 0], corner_coords[..., 1], corner_coords[..., 2]
         ]
@@ -231,6 +237,11 @@ def _dedupe_vertices(verts, faces):
 
 def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
     """ASCII OBJ writer (1-indexed faces, matching the reference output)."""
+    if len(vertices) == 0 or len(faces) == 0:
+        # Writing just the two separator newlines is not a valid OBJ for
+        # strict parsers; an empty extraction is a caller decision, not a
+        # file to discover later.
+        raise ValueError("refusing to write an empty mesh")
     with open(path, "w") as f:
         f.write(
             "\n".join(f"v {x:.5f} {y:.5f} {z:.5f}" for x, y, z in vertices.tolist())

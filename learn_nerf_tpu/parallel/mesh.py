@@ -11,6 +11,7 @@ process then contributes its local batch slice via
 :func:`global_batch_from_local`.
 """
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -29,6 +30,12 @@ def init_distributed(
     """Initialize the JAX distributed runtime for multi-host meshes.
 
     No-op for single-process runs (the common case on one chip/slice).
+    With explicit flags it initializes exactly as asked; with NO flags it
+    still calls ``jax.distributed.initialize()`` (argless autodetection)
+    when the environment carries a multi-host launcher's coordinates —
+    otherwise a user launching on a multi-host slice without
+    ``--num_processes`` would silently get per-host independent models
+    racing writes to the same checkpoint path.
     """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
@@ -36,6 +43,15 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif num_processes is None and any(
+        os.environ.get(var)
+        for var in (
+            "JAX_COORDINATOR_ADDRESS",  # jax.distributed's own env spec
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice launchers
+        )
+    ):
+        jax.distributed.initialize()
 
 
 def default_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:

@@ -98,8 +98,12 @@ def main(argv=None):
         raise SystemExit("no surface found at this threshold")
 
     # Match the reference's output frame: flip x/z, rescale to world units,
-    # center (reference :71-77).
+    # center (reference :71-77).  The axis swap is a REFLECTION, so the
+    # face winding must reverse with it or every cross-product normal
+    # (marching_tetrahedra's outward-orientation contract, and write_stl's
+    # computed normals) points inward.
     verts = np.stack([verts[..., 2], verts[..., 1], verts[..., 0]], axis=-1)
+    faces = faces[:, ::-1]
     size = np.asarray(metadata.bbox_max) - np.asarray(metadata.bbox_min)
     verts *= size / args.resolution
     verts -= (verts.max(axis=0) + verts.min(axis=0)) / 2

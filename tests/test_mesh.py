@@ -55,6 +55,21 @@ def test_normals_point_outward():
     assert (dots > 0).mean() > 0.99
 
 
+def test_normals_stay_outward_after_cli_reflection():
+    """The marching_cubes CLI flips x/z (a REFLECTION) to match the
+    reference's output frame; the winding must reverse with it or every
+    normal inverts inward (found by review: 100% outward -> 0%)."""
+    vol = sphere_volume(16, radius=0.3)
+    verts, faces = marching_tetrahedra(vol, level=0.0)
+    verts = np.stack([verts[..., 2], verts[..., 1], verts[..., 0]], axis=-1)
+    faces = faces[:, ::-1]  # the CLI's paired winding reversal
+    center = np.array([0.5, 0.5, 0.5]) * 15
+    tris = verts[faces]
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    dots = (n * (tris.mean(axis=1) - center)).sum(axis=-1)
+    assert (dots > 0).mean() > 0.99
+
+
 def test_obj_writer(tmp_path):
     verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
     faces = np.array([[0, 1, 2]])
