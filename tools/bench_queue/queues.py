@@ -23,11 +23,92 @@ _VERIFY_TRAIN_FLAGS = "--seed 0 --lr 2e-3 --batch_size 1024"
 _OCC_FLAGS = ("--instant_ngp --occupancy --occ_candidates 64 --occ_samples 24 "
               "--occ_grid 64")
 
+SCENES = ["runs/scene_train/metadata.json", "runs/scene_test/metadata.json",
+          "runs/scene_shiny_train/metadata.json",
+          "runs/scene_shiny_test/metadata.json"]
+CKPT = "runs/ours_ngp_long.pkl"
+BAKED_REQ = [CKPT, "runs/scene_train/metadata.json",
+             "runs/scene_test/metadata.json"]
+
 QUEUE_R4 = [
+    # ---- tier -1: regenerate the gitignored inputs -------------------------
+    # runs/ does not survive a container re-provision (it is gitignored);
+    # every dataset and checkpoint the queue consumes must be rebuildable
+    # from the repo alone.  scenes_make is deterministic (seeded C++
+    # renders), shuffle_prewarm builds the shard caches on the CPU env so
+    # the first TPU epoch is not ~80x slower (CLAUDE.md), and
+    # ngp_long_train retrains the flagship checkpoint the baked/eval items
+    # measure (1500 pooled steps, ~17.0 dB — quality saturates by 1500
+    # steps on this scene, BASELINE.md, so the round-2 21k-step original
+    # is not needed for baked-vs-live timing or lever evals).
+    dict(name="scenes_make", tpu=False, produces=SCENES,
+         cmd="bash tools/make_bench_scenes.sh > runs/scenes_make.log 2>&1",
+         timeout=1200),
+    dict(name="shuffle_prewarm", tpu=False,
+         requires=[SCENES[0], SCENES[2]],
+         produces=["runs/scene_train/shuffled/done",
+                   "runs/scene_shiny_train/shuffled/done"],
+         cmd=(f"{CPUPFX} python -c \""
+              "from learn_nerf_tpu.data.dataset import load_dataset\n"
+              "for d in ('runs/scene_train', 'runs/scene_shiny_train'):\n"
+              "    ds = load_dataset(d)\n"
+              "    next(ds.iterate_batches(d + '/shuffled', 0, 4096))\n"
+              "    print('prewarmed', d)\""
+              " > runs/shuffle_prewarm.log 2>&1"),
+         timeout=1800),
+    dict(name="ngp_long_train", produces=[CKPT],
+         requires=["runs/scene_train/metadata.json",
+                   "runs/scene_train/shuffled/done"],
+         cmd=(f"rm -f {CKPT} && {TRAIN} --instant_ngp --batch_size 4096 "
+              "--lr 1e-2 --seed 0 --occupancy --occ_train_budget 12 "
+              "--occ_train_budget_start 400 --steps 1500 "
+              f"--save_path {CKPT} runs/scene_train "
+              "> runs/ours_ngp_long.log 2>&1"),
+         timeout=1800, stall_secs=1200, log="runs/ours_ngp_long.log"),
+
     # ---- tier 0: minutes each, headline evidence --------------------------
+    dict(name="baked_384_512", requires=BAKED_REQ,
+         cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
+         timeout=3600, log="runs/measure_baked.log"),
+    dict(name="baked_combo_p4_c96", requires=BAKED_REQ,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
+              f"--pack 4 > runs/measure_baked_combo.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_combo.log"),
+    dict(name="baked_combo_p4_c64", requires=BAKED_REQ,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 64 "
+              f"--pack 4 > runs/measure_baked_combo64.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_combo64.log"),
+    # Block-word occupancy gathers (round 4): after baking, SELECTION
+    # gathers dominate the frame (~100M vs ~13M field) — stride-k packed
+    # rows cut them ~k-fold.  PSNR-vs-live in the same log tracks the
+    # bake error; the eval item below pins absolute quality vs the
+    # per-cell path on the held-out views.
+    dict(name="baked_combo_bg2", requires=BAKED_REQ,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
+              f"--pack 4 --block_gather 2 > runs/measure_baked_bg2.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_bg2.log"),
+    dict(name="baked_combo_bg4", requires=BAKED_REQ,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
+              f"--pack 4 --block_gather 4 > runs/measure_baked_bg4.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_bg4.log"),
+    dict(name="baked_combo_bg4_span_bg4", requires=BAKED_REQ,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
+              f"--pack 4 --block_gather 4 --span_block_gather 4 "
+              f"> runs/measure_baked_bg4sb4.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_bg4sb4.log"),
+    dict(name="eval_block_gather4",
+         requires=[CKPT, "runs/scene_test/metadata.json"],
+         cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
+              "--occ_block_gather 4 --occ_budget_per_ray auto "
+              "--model_path runs/ours_ngp_long.pkl runs/scene_test "
+              "> runs/eval_block_gather4.log 2>&1"),
+         timeout=2400, log="runs/eval_block_gather4.log"),
     # bench.py prints its JSON only at the end, so one all-modes run is
     # all-or-nothing under a timeout: split the train submetrics from the
-    # frame bench so each piece's chip time is bounded separately.
+    # frame bench so each piece's chip time is bounded separately.  These
+    # run AFTER the baked measurements: the driver reruns bench.py at
+    # round end regardless, so the queue's copy is a belt-and-braces log
+    # capture, not the only shot at the roofline numbers.
     dict(name="bench_roofline",
          cmd=("env BENCH_MODE=occupancy,pooled,parity,vanilla "
               "python bench.py > runs/bench_r4.log 2>&1"),
@@ -39,41 +120,6 @@ QUEUE_R4 = [
               "python bench.py > runs/bench_r4_frame.log 2>&1"),
          # on-chip 384^3 bake + one cold compile per auto-budget bucket.
          timeout=3600, log="runs/bench_r4_frame.log"),
-    dict(name="baked_384_512",
-         cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
-         timeout=3600, log="runs/measure_baked.log"),
-    dict(name="baked_combo_p4_c96",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
-              f"--pack 4 > runs/measure_baked_combo.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_combo.log"),
-    dict(name="baked_combo_p4_c64",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 64 "
-              f"--pack 4 > runs/measure_baked_combo64.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_combo64.log"),
-    # Block-word occupancy gathers (round 4): after baking, SELECTION
-    # gathers dominate the frame (~100M vs ~13M field) — stride-k packed
-    # rows cut them ~k-fold.  PSNR-vs-live in the same log tracks the
-    # bake error; the eval item below pins absolute quality vs the
-    # per-cell path on the held-out views.
-    dict(name="baked_combo_bg2",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
-              f"--pack 4 --block_gather 2 > runs/measure_baked_bg2.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_bg2.log"),
-    dict(name="baked_combo_bg4",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
-              f"--pack 4 --block_gather 4 > runs/measure_baked_bg4.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_bg4.log"),
-    dict(name="baked_combo_bg4_span_bg4",
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
-              f"--pack 4 --block_gather 4 --span_block_gather 4 "
-              f"> runs/measure_baked_bg4sb4.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_bg4sb4.log"),
-    dict(name="eval_block_gather4",
-         cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
-              "--occ_block_gather 4 --occ_budget_per_ray auto "
-              "--model_path runs/ours_ngp_long.pkl runs/scene_test "
-              "> runs/eval_block_gather4.log 2>&1"),
-         timeout=2400, log="runs/eval_block_gather4.log"),
 
     # ---- tier 1: the /verify end-to-end drive (train+render on chip) ------
     dict(name="verify_scene_write", produces=["/tmp/verify_scene/metadata.json"], tpu=False,
@@ -129,6 +175,8 @@ QUEUE_R4 = [
 
     # ---- tier 2: flagship quality rows -------------------------------------
     dict(name="ngp_scan8_throughput",
+         requires=["runs/scene_train/metadata.json",
+                   "runs/scene_train/shuffled/done"],
          cmd=(f"rm -f runs/ours_ngp_scan8.pkl && {TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
               "--occupancy --occ_train_budget 12 --occ_train_budget_start 400 "
               "--steps_per_dispatch 8 --steps 1600 "
@@ -136,13 +184,17 @@ QUEUE_R4 = [
               "> runs/ours_ngp_scan8.log 2>&1"),
          timeout=1800, stall_secs=1500, log="runs/ours_ngp_scan8.log"),
     dict(name="ngp_cosine_train",
+         requires=["runs/scene_train/metadata.json",
+                   "runs/scene_train/shuffled/done"],
          cmd=(f"rm -f runs/ours_ngp_cosine.pkl && {TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
               "--occupancy --occ_train_budget 12 --occ_train_budget_start 400 "
               "--lr_schedule cosine --occ_freeze_grid_after 800 --ema 0.99 "
               "--steps 1500 --save_path runs/ours_ngp_cosine.pkl "
               "runs/scene_train > runs/ours_ngp_cosine.log 2>&1"),
          timeout=2400, stall_secs=1500, log="runs/ours_ngp_cosine.log"),
-    dict(name="ngp_cosine_eval", requires=["runs/ours_ngp_cosine.pkl"],
+    dict(name="ngp_cosine_eval",
+         requires=["runs/ours_ngp_cosine.pkl",
+                   "runs/scene_test/metadata.json"],
          cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
               "--model_path runs/ours_ngp_cosine.pkl runs/scene_test "
               "> runs/eval_ours_ngp_cosine.log 2>&1"),
@@ -150,22 +202,30 @@ QUEUE_R4 = [
 
     # ---- tier 3: Ref-NeRF / NGPxRef head-to-heads (VERDICT #3) --------------
     dict(name="ours_refnerf_train",
+         requires=["runs/scene_shiny_train/metadata.json",
+                   "runs/scene_shiny_train/shuffled/done"],
          cmd=(f"rm -f runs/ours_refnerf_1500.pkl && {TRAIN} --ref_nerf --batch_size 4096 --lr 1e-4 --seed 0 "
               "--occupancy --steps 1500 --save_path runs/ours_refnerf_1500.pkl "
               "runs/scene_shiny_train > runs/ours_refnerf_1500.log 2>&1"),
          timeout=3600, stall_secs=1800, log="runs/ours_refnerf_1500.log"),
     dict(name="ours_ngpref_train",
+         requires=["runs/scene_shiny_train/metadata.json",
+                   "runs/scene_shiny_train/shuffled/done"],
          cmd=(f"rm -f runs/ours_ngpref.pkl && {TRAIN} --instant_ngp --ref_nerf --batch_size 4096 --lr 1e-2 "
               "--seed 0 --occupancy --steps 1500 "
               "--save_path runs/ours_ngpref.pkl runs/scene_shiny_train "
               "> runs/ours_ngpref.log 2>&1"),
          timeout=5400, stall_secs=1800, log="runs/ours_ngpref.log"),
-    dict(name="ours_refnerf_eval", requires=["runs/ours_refnerf_1500.pkl"],
+    dict(name="ours_refnerf_eval",
+         requires=["runs/ours_refnerf_1500.pkl",
+                   "runs/scene_shiny_test/metadata.json"],
          cmd=(f"{EVAL} --batch_size 4096 --ref_nerf --occupancy "
               "--model_path runs/ours_refnerf_1500.pkl runs/scene_shiny_test "
               "> runs/eval_ours_refnerf_1500.log 2>&1"),
          timeout=2400, log="runs/eval_ours_refnerf_1500.log"),
-    dict(name="ours_ngpref_eval", requires=["runs/ours_ngpref.pkl"],
+    dict(name="ours_ngpref_eval",
+         requires=["runs/ours_ngpref.pkl",
+                   "runs/scene_shiny_test/metadata.json"],
          cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --ref_nerf --occupancy "
               "--model_path runs/ours_ngpref.pkl runs/scene_shiny_test "
               "> runs/eval_ours_ngpref.log 2>&1"),
@@ -179,11 +239,14 @@ QUEUE_R4 = [
               "--steps 10 > runs/measure_ref_ngpref.log 2>&1"),
          timeout=3600, log="runs/measure_ref_ngpref.log"),
     dict(name="ref_refnerf_train",
+         requires=["runs/scene_shiny_train/metadata.json"],
          cmd=("rm -f runs/ref_refnerf.pkl && python tools/train_reference.py --ref_nerf --batch_size 4096 "
               "--steps 1500 --lr 1e-4 --save_path runs/ref_refnerf.pkl "
               "runs/scene_shiny_train > runs/ref_refnerf.log 2>&1"),
          timeout=10800, log="runs/ref_refnerf.log", stall_secs=2400),
-    dict(name="ref_refnerf_eval", requires=["runs/ref_refnerf.pkl"],
+    dict(name="ref_refnerf_eval",
+         requires=["runs/ref_refnerf.pkl",
+                   "runs/scene_shiny_test/metadata.json"],
          cmd=(f"{EVAL} --batch_size 4096 --ref_nerf "
               "--model_path runs/ref_refnerf.pkl runs/scene_shiny_test "
               "> runs/eval_ref_refnerf.log 2>&1"),
@@ -215,15 +278,15 @@ QUEUE_R4 = [
          timeout=1200, log="runs/blender_e2e.log"),
 
     # ---- tier 5: secondary baked variants ----------------------------------
-    dict(name="baked_span_512",
+    dict(name="baked_span_512", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 512 --span_candidates 96 "
               "> runs/measure_baked_span.log 2>&1"),
          timeout=2400, log="runs/measure_baked_span.log"),
-    dict(name="baked_pack2",
+    dict(name="baked_pack2", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 384,512 --pack 2 "
               "> runs/measure_baked_p2.log 2>&1"),
          timeout=2400, log="runs/measure_baked_p2.log"),
-    dict(name="baked_256_p8",
+    dict(name="baked_256_p8", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 256 --span_candidates 96 --candidates 96 "
               "--pack 8 > runs/measure_baked_256p8.log 2>&1"),
          timeout=2400, log="runs/measure_baked_256p8.log"),
