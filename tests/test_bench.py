@@ -114,3 +114,76 @@ def test_pooled_bench_grid_freeze_invariant():
     for _ in range(20):
         loop.step_auto(jax.random.PRNGKey(7), batch)
     np.testing.assert_array_equal(np.asarray(loop.grid_state.densities), planted)
+
+
+def test_chip_held_by_other_python_detects_claim_holder():
+    """The watchdog's queue-vs-wedge classifier: a live python process
+    with a nonempty PALLAS_AXON_POOL_IPS is a chip-claim holder; the
+    watchdog must extend its window instead of dying with rc=17 while a
+    benchmark-queue item drains (driver round-end bench)."""
+    import os
+    import subprocess
+    import sys
+
+    import bench
+
+    # A sleeping python WITH the pool var set but WITHOUT the axon
+    # sitecustomize on PYTHONPATH: env signature of a claim holder, no
+    # actual chip claim.
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PALLAS_AXON_POOL_IPS"] = "203.0.113.1"
+    child = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(60)"], env=env
+    )
+    try:
+        assert bench._chip_held_by_other_python() is True
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_chip_held_ignores_self_and_empty_var():
+    """Our own pid and processes with the var EMPTY (the CPU env) must not
+    count as claim holders — otherwise the watchdog would wait on itself."""
+    import os
+    import subprocess
+    import sys
+
+    import bench
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PALLAS_AXON_POOL_IPS"] = ""  # the CPU-env convention
+    child = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(60)"], env=env
+    )
+    try:
+        held = bench._chip_held_by_other_python(me=os.getpid())
+        # The child has the var EMPTY, so it must not flip the result by
+        # itself.  (Other processes on a busy box may legitimately hold
+        # the chip; only assert when the box is otherwise quiet.)
+        if not _any_external_holder(child.pid):
+            assert held is False
+    finally:
+        child.kill()
+        child.wait()
+
+
+def _any_external_holder(*exclude):
+    import os
+
+    skip = set(exclude) | {os.getpid()}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) in skip:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                if b"python" not in f.read():
+                    continue
+            with open(f"/proc/{pid}/environ", "rb") as f:
+                env = f.read()
+        except OSError:
+            continue
+        for entry in env.split(b"\0"):
+            if entry.startswith(b"PALLAS_AXON_POOL_IPS=") and entry.split(b"=", 1)[1]:
+                return True
+    return False
