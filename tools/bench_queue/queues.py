@@ -70,6 +70,14 @@ QUEUE_R4 = [
     dict(name="baked_384_512", requires=BAKED_REQ,
          cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
          timeout=3600, log="runs/measure_baked.log"),
+    # Full round-4 lever stack FIRST among the variants (the projected
+    # ~1 s headline point): if the chip window closes mid-tier, the
+    # baseline + the headline config are the two rows that must exist.
+    dict(name="baked_combo_bg4_span_bg4", requires=BAKED_REQ,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
+              f"--pack 4 --block_gather 4 --span_block_gather 4 "
+              f"> runs/measure_baked_bg4sb4.log 2>&1"),
+         timeout=2400, log="runs/measure_baked_bg4sb4.log"),
     dict(name="baked_combo_p4_c96", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 > runs/measure_baked_combo.log 2>&1"),
@@ -91,11 +99,6 @@ QUEUE_R4 = [
          cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 --block_gather 4 > runs/measure_baked_bg4.log 2>&1"),
          timeout=2400, log="runs/measure_baked_bg4.log"),
-    dict(name="baked_combo_bg4_span_bg4", requires=BAKED_REQ,
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
-              f"--pack 4 --block_gather 4 --span_block_gather 4 "
-              f"> runs/measure_baked_bg4sb4.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_bg4sb4.log"),
     dict(name="eval_block_gather4",
          requires=[CKPT, "runs/scene_test/metadata.json"],
          cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
