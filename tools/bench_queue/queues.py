@@ -67,9 +67,14 @@ QUEUE_R4 = [
          timeout=1800, stall_secs=1200, log="runs/ours_ngp_long.log"),
 
     # ---- tier 0: minutes each, headline evidence --------------------------
+    # Timeouts here are sized to the measured shape of one measure_baked
+    # run (~5 min cold compile + seconds of renders + one on-chip bake),
+    # NOT padded to hours: the runner reserves `timeout` seconds of chip
+    # time against --deadline-epoch, so a padded timeout makes an item
+    # undispatchable in the exact end-of-round window it exists for.
     dict(name="baked_384_512", requires=BAKED_REQ,
          cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
-         timeout=3600, log="runs/measure_baked.log"),
+         timeout=1800, log="runs/measure_baked.log"),
     # Full round-4 lever stack FIRST among the variants (the projected
     # ~1 s headline point): if the chip window closes mid-tier, the
     # baseline + the headline config are the two rows that must exist.
@@ -77,15 +82,15 @@ QUEUE_R4 = [
          cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 --block_gather 4 --span_block_gather 4 "
               f"> runs/measure_baked_bg4sb4.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_bg4sb4.log"),
+         timeout=1200, log="runs/measure_baked_bg4sb4.log"),
     dict(name="baked_combo_p4_c96", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 > runs/measure_baked_combo.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_combo.log"),
+         timeout=1200, log="runs/measure_baked_combo.log"),
     dict(name="baked_combo_p4_c64", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 64 "
               f"--pack 4 > runs/measure_baked_combo64.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_combo64.log"),
+         timeout=1200, log="runs/measure_baked_combo64.log"),
     # Block-word occupancy gathers (round 4): after baking, SELECTION
     # gathers dominate the frame (~100M vs ~13M field) — stride-k packed
     # rows cut them ~k-fold.  PSNR-vs-live in the same log tracks the
@@ -94,18 +99,18 @@ QUEUE_R4 = [
     dict(name="baked_combo_bg2", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 --block_gather 2 > runs/measure_baked_bg2.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_bg2.log"),
+         timeout=1200, log="runs/measure_baked_bg2.log"),
     dict(name="baked_combo_bg4", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 --block_gather 4 > runs/measure_baked_bg4.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_bg4.log"),
+         timeout=1200, log="runs/measure_baked_bg4.log"),
     dict(name="eval_block_gather4",
          requires=[CKPT, "runs/scene_test/metadata.json"],
          cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
               "--occ_block_gather 4 --occ_budget_per_ray auto "
               "--model_path runs/ours_ngp_long.pkl runs/scene_test "
               "> runs/eval_block_gather4.log 2>&1"),
-         timeout=2400, log="runs/eval_block_gather4.log"),
+         timeout=1200, log="runs/eval_block_gather4.log"),
     # bench.py prints its JSON only at the end, so one all-modes run is
     # all-or-nothing under a timeout: split the train submetrics from the
     # frame bench so each piece's chip time is bounded separately.  These
@@ -117,12 +122,12 @@ QUEUE_R4 = [
               "python bench.py > runs/bench_r4.log 2>&1"),
          # 5 train configs (occupancy/pooled/parity/vanilla/bf16), each
          # with a cold ~2-5 min remote compile: budget generously.
-         timeout=4200, log="runs/bench_r4.log"),
+         timeout=3000, log="runs/bench_r4.log"),
     dict(name="bench_frame",
          cmd=("env BENCH_MODE=frame "
               "python bench.py > runs/bench_r4_frame.log 2>&1"),
          # on-chip 384^3 bake + one cold compile per auto-budget bucket.
-         timeout=3600, log="runs/bench_r4_frame.log"),
+         timeout=1800, log="runs/bench_r4_frame.log"),
 
     # ---- tier 1: the /verify end-to-end drive (train+render on chip) ------
     dict(name="verify_scene_write", produces=["/tmp/verify_scene/metadata.json"], tpu=False,
@@ -284,21 +289,30 @@ QUEUE_R4 = [
     dict(name="baked_span_512", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 512 --span_candidates 96 "
               "> runs/measure_baked_span.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_span.log"),
+         timeout=1500, log="runs/measure_baked_span.log"),
     dict(name="baked_pack2", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 384,512 --pack 2 "
               "> runs/measure_baked_p2.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_p2.log"),
+         timeout=1500, log="runs/measure_baked_p2.log"),
     dict(name="baked_256_p8", requires=BAKED_REQ,
          cmd=(f"{MB} --resolutions 256 --span_candidates 96 --candidates 96 "
               "--pack 8 > runs/measure_baked_256p8.log 2>&1"),
-         timeout=2400, log="runs/measure_baked_256p8.log"),
+         timeout=1200, log="runs/measure_baked_256p8.log"),
 
     # ---- final: self-assembling results table -------------------------------
     dict(name="summary_tables", tpu=False,
          cmd=(f"{CPUPFX} python tools/summarize_runs.py runs "
               "> runs/summary_r4.md 2>&1"),
          timeout=300),
+    # runs/ is gitignored and does not survive a container re-provision
+    # (round 4 lost every round-2/3 artifact this way): mirror the logs
+    # and summary into a TRACKED directory, so any end-of-round commit of
+    # the working tree preserves the measurement evidence itself.
+    dict(name="archive_logs", tpu=False,
+         cmd=("mkdir -p docs/measurements/r4 && "
+              "cp -f runs/*.log runs/summary_r4.md docs/measurements/r4/ "
+              "2>/dev/null; ls docs/measurements/r4 | head -50"),
+         timeout=120),
 ]
 
 QUEUES = {"r4": QUEUE_R4}
