@@ -465,13 +465,29 @@ def _device_watchdog(seconds: float):
         # Hard cap so a zombie claim-holder cannot stall the driver's
         # bench forever: wait at most 45 min beyond the base window.
         hard_cap = time.time() + seconds + 2700
+        saw_holder = False
+        regranted = False
         while True:
             if done.wait(max(0.0, min(deadline, hard_cap) - time.time())):
                 return
-            if time.time() < hard_cap and _chip_held_by_other_python():
+            if time.time() >= hard_cap:
+                break
+            if _chip_held_by_other_python():
                 # Chip is queued behind a live local job, not wedged:
-                # extend the window and re-check.
+                # re-poll on a short cadence while the holder drains.
+                saw_holder = True
+                regranted = False  # a NEW holder re-earns the full grace
                 deadline = time.time() + min(seconds, 120.0)
+                continue
+            if saw_holder and not regranted:
+                # The holder just exited.  The chip takes ~1 min to
+                # release and our first op then cold-compiles for up to
+                # ~5 min (CLAUDE.md) — the short re-poll cadence above
+                # must NOT double as the post-holder grace (that falsely
+                # killed benches queued behind a draining job).  Grant
+                # the FULL base window once.
+                regranted = True
+                deadline = time.time() + seconds
                 continue
             break
         print(
@@ -502,9 +518,9 @@ def _device_watchdog(seconds: float):
 
 def main():
     # Comma-separated set, e.g. BENCH_MODE="occupancy,pooled,parity,vanilla"
-    # (the train submetrics without the frame bench — lets a measurement
-    # queue bound each piece's chip time separately; a timed-out bench
-    # prints nothing, so all-or-nothing "all" risks losing everything).
+    # (lets a measurement queue bound each piece's chip time separately).
+    # The headline JSON is re-emitted after every completed submetric, so
+    # even under "all" a late hang only loses the not-yet-run pieces.
     modes = set(os.environ.get("BENCH_MODE", "all").split(","))
     valid = ("all", "occupancy", "pooled", "parity", "vanilla", "frame")
     if not modes <= set(valid):
@@ -524,52 +540,124 @@ def main():
     probe = jax.numpy.ones((8, 8))
     float((probe @ probe).sum())
     cancel()
+
+    # Incremental emission (VERDICT round 4 weak #2): the headline JSON
+    # line is (re)printed after EVERY completed submetric, so a later
+    # hang/kill degrades to missing submetrics instead of destroying
+    # already-computed numbers — the driver parses the LAST complete
+    # JSON line.  Round 4's frame-bench hang erased four finished train
+    # submetrics; that failure mode is gone.
     sub = {}
+    benches = []
     if want("occupancy"):
-        sub["instant_ngp_occupancy"] = bench_occupancy()
+        benches.append(("instant_ngp_occupancy", bench_occupancy))
     if want("pooled"):
-        sub["instant_ngp_pooled"] = bench_pooled()
+        benches.append(("instant_ngp_pooled", bench_pooled))
     if want("parity"):
-        sub["instant_ngp_parity"] = bench_parity()
+        benches.append(("instant_ngp_parity", bench_parity))
     if want("vanilla"):
-        sub["vanilla_parity"] = bench_vanilla()
+        benches.append(("vanilla_parity", bench_vanilla))
         # The bf16-activation variant answers the roofline question for
         # the one memory-bound workload (see DESIGN.md section 3 "bf16
         # neutral" — re-measured here with the roofline attached).
-        sub["vanilla_parity_bf16"] = bench_vanilla("bfloat16")
+        benches.append(
+            ("vanilla_parity_bf16", lambda: bench_vanilla("bfloat16"))
+        )
     if want("frame"):
         # North-star inference frame (800x800, baked+span+block-gather);
-        # last so a mid-bench kill still leaves the train submetrics
-        # computed (the JSON line prints only at the end either way).
-        sub["frame_800_baked"] = bench_frame()
+        # last, under its own watchdog: if it hangs, the already-emitted
+        # train headline survives and the bench exits 0.
+        frame_timeout = float(os.environ.get("BENCH_FRAME_TIMEOUT", 1500))
+        benches.append(
+            ("frame_800_baked",
+             lambda: _run_bounded(bench_frame, frame_timeout))
+        )
 
-    if "instant_ngp_occupancy" in sub:
+    for name, fn in benches:
+        try:
+            sub[name] = fn()
+        except Exception as e:  # noqa: BLE001 — keep earlier submetrics
+            sub[name] = dict(error=f"{type(e).__name__}: {e}")
+        _emit(sub)
+
+
+def _run_bounded(fn, timeout_s):
+    """Run fn() in a worker thread with a hard timeout.
+
+    On timeout the worker is abandoned (daemon thread; the process exits
+    soon after) and an error dict is returned, so a hang in a single
+    risky submetric cannot take down the whole bench (VERDICT r4 weak
+    #2: wrap the frame bench in its own watchdog)."""
+    import threading
+
+    box = {}
+
+    def run():
+        try:
+            box["value"] = fn()
+        except Exception as e:  # noqa: BLE001
+            box["error"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return dict(
+            error=f"timed out after {timeout_s:.0f}s (worker abandoned)"
+        )
+    if "error" in box:
+        raise box["error"]
+    return box["value"]
+
+
+def _emit(sub):
+    """Print the headline JSON for everything measured so far."""
+    def ok(name):
+        return name in sub and "error" not in sub[name]
+
+    if ok("instant_ngp_occupancy"):
         headline = sub["instant_ngp_occupancy"]
         metric = "train_rays_per_sec_instant_ngp"
         unit = "rays/sec/chip (batch 4096, occupancy-culled 192->32 samples)"
         vs = headline["vs_reference_ngp"]
-    elif "instant_ngp_pooled" in sub:
+    elif ok("instant_ngp_pooled"):
         headline = sub["instant_ngp_pooled"]
         metric = "train_rays_per_sec_instant_ngp_pooled"
         unit = "rays/sec/chip (batch 4096, pooled survivors, demand ~10/ray)"
         vs = headline["vs_reference_ngp"]
-    elif "instant_ngp_parity" in sub:
+    elif ok("instant_ngp_parity"):
         headline = sub["instant_ngp_parity"]
         metric = "train_rays_per_sec_instant_ngp_parity"
         unit = "rays/sec/chip (batch 4096, dense 64c+192f samples)"
         vs = headline["vs_reference_ngp"]
-    elif "vanilla_parity" in sub:
+    elif ok("vanilla_parity"):
         headline = sub["vanilla_parity"]
         metric = "train_rays_per_sec_vanilla_parity"
         unit = "rays/sec/chip (batch 4096, dense 64c+192f samples)"
         vs = headline["vs_reference_vanilla"]
-    else:  # frame-only run (BENCH_MODE=frame)
+    elif ok("frame_800_baked"):  # frame-only run (BENCH_MODE=frame)
         headline = sub["frame_800_baked"]
         metric = "frame_seconds_800px_baked"
         unit = "s/frame (800x800, baked NGP field, one chip)"
         # Baseline: the reference's chunked host-loop render path measured
         # at dense-eval rate (BASELINE.md) — higher is better for rays/s.
         vs = headline["vs_reference_dense_eval"]
+    else:
+        # Nothing usable yet (first submetric errored): still emit a
+        # well-formed line so the driver has something to parse.
+        print(
+            json.dumps(
+                dict(
+                    metric="train_rays_per_sec_instant_ngp",
+                    value=0,
+                    unit="rays/sec/chip",
+                    vs_baseline=0,
+                    submetrics=sub,
+                )
+            ),
+            flush=True,
+        )
+        return
 
     print(
         json.dumps(
@@ -580,7 +668,8 @@ def main():
                 vs_baseline=vs,
                 submetrics=sub,
             )
-        )
+        ),
+        flush=True,
     )
 
 

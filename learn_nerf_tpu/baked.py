@@ -158,6 +158,38 @@ def pack_baked_grid(grid: Array, resolution: int, pack: int) -> Array:
     return jnp.concatenate(parts, axis=-1).reshape(r**3, -1)
 
 
+def _make_sweep(model: InstantNGPModel, r: int, dtype):
+    """Jitted dense-lattice sweep: ``params -> [r, r*r, features]``.
+
+    Params are a jit ARGUMENT (never a closure capture — a captured
+    param tree lowers as program constants and ships to the remote
+    compiler; tests/test_constants.py gates this).  One device program:
+    r chunks of r^2 lattice vertices, positions derived on device (no
+    host-side point tensor).
+    """
+    bbox_min = jnp.asarray(model.bbox_min, dtype=jnp.float32)
+    bbox_max = jnp.asarray(model.bbox_max, dtype=jnp.float32)
+
+    @jax.jit
+    def sweep(params):
+        def chunk(z):
+            ids = jnp.arange(r * r, dtype=jnp.int32)
+            cx = ids % r
+            cy = ids // r
+            coords = jnp.stack(
+                [cx, cy, jnp.full_like(cx, z)], axis=-1
+            ).astype(jnp.float32)
+            pts = bbox_min + coords / (r - 1) * (bbox_max - bbox_min)
+            feats = model.apply(
+                dict(params=params), pts, jnp.zeros_like(pts), spatial_only=True
+            )
+            return feats.astype(dtype)
+
+        return jax.lax.map(chunk, jnp.arange(r, dtype=jnp.int32))
+
+    return sweep
+
+
 def bake_instant_ngp(
     model: InstantNGPModel,
     params,
@@ -191,27 +223,7 @@ def bake_instant_ngp(
             f"(got {type(model).__name__})"
         )
     r = resolution
-    bbox_min = jnp.asarray(model.bbox_min, dtype=jnp.float32)
-    bbox_max = jnp.asarray(model.bbox_max, dtype=jnp.float32)
-
-    # One device program: r chunks of r^2 lattice vertices, positions
-    # derived on device (no host-side point tensor).
-    @jax.jit
-    def sweep(params):
-        def chunk(z):
-            ids = jnp.arange(r * r, dtype=jnp.int32)
-            cx = ids % r
-            cy = ids // r
-            coords = jnp.stack(
-                [cx, cy, jnp.full_like(cx, z)], axis=-1
-            ).astype(jnp.float32)
-            pts = bbox_min + coords / (r - 1) * (bbox_max - bbox_min)
-            feats = model.apply(
-                dict(params=params), pts, jnp.zeros_like(pts), spatial_only=True
-            )
-            return feats.astype(dtype)
-
-        return jax.lax.map(chunk, jnp.arange(r, dtype=jnp.int32))
+    sweep = _make_sweep(model, r, dtype)
 
     t0 = time.time()
     grid = sweep(params).reshape(r**3, -1)

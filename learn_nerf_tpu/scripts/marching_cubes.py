@@ -66,7 +66,9 @@ def main(argv=None):
     num_tiles = -(-n // (n_dev * tile)) * n_dev
     coords_p = np.pad(coords, ((0, num_tiles * tile - n), (0, 0)))
 
-    def scan_tiles(tiles):
+    # Params as a jit ARGUMENT (closure capture would lower the field's
+    # tables as program constants; tests/test_constants.py).
+    def scan_tiles(params, tiles):
         def one(pts):
             density, _, _ = fine.apply(
                 dict(params=params), pts, jnp.zeros_like(pts)
@@ -76,19 +78,24 @@ def main(argv=None):
         return jax.lax.map(one, tiles)
 
     if n_dev > 1:
+        from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
         occupancy = jax.jit(
             jax.shard_map(
-                scan_tiles, mesh=mesh, in_specs=P(DATA_AXIS),
+                scan_tiles, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
                 out_specs=P(DATA_AXIS),
             )
         )
+        params_d = jax.device_put(params, NamedSharding(mesh, P()))
     else:
         occupancy = jax.jit(scan_tiles)
+        params_d = jax.device_put(params)
 
     print("computing densities...")
-    occ = np.asarray(occupancy(coords_p.reshape(num_tiles, tile, 3))).reshape(-1)[:n]
+    occ = np.asarray(
+        occupancy(params_d, coords_p.reshape(num_tiles, tile, 3))
+    ).reshape(-1)[:n]
     volume = occ.reshape([args.resolution] * 3)
     volume = np.pad(volume, 1, mode="constant", constant_values=0)
 

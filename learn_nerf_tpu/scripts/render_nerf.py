@@ -117,33 +117,56 @@ class RenderSession:
                 coarse_ts=args.coarse_samples,
                 fine_ts=args.fine_samples,
             )
+            # Params/background as jit ARGUMENTS, device-put once — a
+            # closure capture would lower them as program constants and
+            # ship them to the (remote) compiler per trace
+            # (tests/test_constants.py).
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                _put = lambda t: jax.device_put(
+                    t, NamedSharding(self._mesh, P())
+                )
+            else:
+                _put = jax.device_put
+            coarse_p, fine_p, bg = _put(
+                (params["coarse"], params["fine"], self.background)
+            )
             if self._mesh is not None:
                 from ..render import render_frame_sharded
 
-                self._render = jax.jit(
-                    lambda key, rays: render_frame_sharded(
+                render_jit = jax.jit(
+                    lambda key, rays, cp, fp, bg: render_frame_sharded(
                         self.renderer,
                         key,
                         rays,
-                        params["coarse"],
-                        params["fine"],
-                        self.background,
+                        cp,
+                        fp,
+                        bg,
                         mesh=self._mesh,
                         tile_size=args.batch_size,
                     ),
                 )
             else:
-                self._render = jax.jit(
-                    lambda key, rays: render_frame(
+                render_jit = jax.jit(
+                    lambda key, rays, cp, fp, bg: render_frame(
                         self.renderer,
                         key,
                         rays,
-                        params["coarse"],
-                        params["fine"],
-                        self.background,
+                        cp,
+                        fp,
+                        bg,
                         tile_size=args.batch_size,
                     )["outputs"],
                 )
+            # Exposed for the captured-constants gate
+            # (tests/test_constants.py).
+            self._render_jit = render_jit
+            self._render_args = (coarse_p, fine_p, bg)
+            self._render = lambda key, rays: render_jit(
+                key, rays, coarse_p, fine_p, bg
+            )
 
     def render_view(self, view: CameraView, width=None, height=None) -> np.ndarray:
         """Render one view, optionally at an explicit resolution.

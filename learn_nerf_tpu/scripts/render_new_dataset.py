@@ -95,19 +95,33 @@ def main(argv=None):
             fine_ts=args.fine_samples,
             **bbox,
         )
-        render = jax.jit(
-            lambda key, rays: render_frame(
+        # Params/background as jit ARGUMENTS (device-put once, replicated
+        # over the mesh if any): closure-captured params would lower as
+        # program constants (tests/test_constants.py).
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            _put = lambda t: jax.device_put(t, NamedSharding(mesh, P()))
+        else:
+            _put = jax.device_put
+        coarse_p, fine_p, bg = _put(
+            (params["coarse"], params["fine"], background)
+        )
+        render_jit = jax.jit(
+            lambda key, rays, cp, fp, bg: render_frame(
                 renderer,
                 key,
                 rays,
-                params["coarse"],
-                params["fine"],
-                background,
+                cp,
+                fp,
+                bg,
                 tile_size=args.batch_size,
                 include_depth_outputs=True,
                 mesh=mesh,
             )
         )
+        render = lambda key, rays: render_jit(key, rays, coarse_p, fine_p, bg)
 
     key = seeded_key(args.seed)
     os.makedirs(args.output_dir)

@@ -136,6 +136,21 @@ def test_chip_held_by_other_python_detects_claim_holder():
         [sys.executable, "-c", "import time; time.sleep(60)"], env=env
     )
     try:
+        # /proc/<pid>/environ shows the PARENT's environment until the
+        # child's execve completes; poll until the child's own env (with
+        # the nonempty pool var) is visible before asserting, or the test
+        # flakes by reading the pytest env (ADVICE r4).
+        import time
+
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            try:
+                with open(f"/proc/{child.pid}/environ", "rb") as f:
+                    if b"PALLAS_AXON_POOL_IPS=203.0.113.1" in f.read():
+                        break
+            except OSError:
+                pass
+            time.sleep(0.05)
         assert bench._chip_held_by_other_python() is True
     finally:
         child.kill()
@@ -187,3 +202,61 @@ def _any_external_holder(*exclude):
             if entry.startswith(b"PALLAS_AXON_POOL_IPS=") and entry.split(b"=", 1)[1]:
                 return True
     return False
+
+
+def test_run_bounded_timeout_and_success():
+    """_run_bounded: a hang degrades to an error dict (the round-4 frame
+    bench destroyed four computed submetrics by hanging the whole
+    process); a fast fn passes through; an exception re-raises."""
+    import time
+
+    import pytest
+
+    import bench
+
+    assert bench._run_bounded(lambda: 42, 5.0) == 42
+    out = bench._run_bounded(lambda: time.sleep(30), 0.2)
+    assert "error" in out and "timed out" in out["error"]
+
+    def boom():
+        raise ValueError("nope")
+
+    with pytest.raises(ValueError):
+        bench._run_bounded(boom, 5.0)
+
+
+def test_emit_incremental_and_error_tolerant(capsys):
+    """_emit prints a parseable headline after every submetric, skips
+    errored submetrics in the priority chain, and emits a well-formed
+    zero line when nothing usable exists yet."""
+    import json
+
+    import bench
+
+    # Nothing usable: still a parseable line (value 0).
+    bench._emit({"instant_ngp_occupancy": {"error": "x"}})
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 0 and "submetrics" in line
+
+    # Occupancy lands: it is the headline.
+    sub = {
+        "instant_ngp_occupancy": dict(rays_per_sec=17000.0, vs_reference_ngp=12.8)
+    }
+    bench._emit(sub)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["metric"] == "train_rays_per_sec_instant_ngp"
+    assert line["value"] == 17000.0
+    assert line["vs_baseline"] == 12.8
+
+    # A later errored frame bench must not dethrone the good headline.
+    sub["frame_800_baked"] = dict(error="timed out after 1500s")
+    bench._emit(sub)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["metric"] == "train_rays_per_sec_instant_ngp"
+    assert line["submetrics"]["frame_800_baked"]["error"]
+
+    # Frame-only success path.
+    bench._emit({"frame_800_baked": dict(
+        rays_per_sec=500000.0, vs_reference_dense_eval=131.0)})
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["metric"] == "frame_seconds_800px_baked"

@@ -4,10 +4,18 @@ Each item: name (done-marker key), cmd (bash), timeout (s), log (watched
 for stall detection), tpu (False = run under the CPU env, no chip probe),
 retries (extra attempts after a wedge-classified failure).
 
-Round-4 queue = round 3's unrun queue7 (VERDICT #1: baked frame timing,
-verify drive, Ref-NeRF / NGPxRef head-to-heads, pinned-recipe flagship)
-reordered so the fastest, highest-value measurements land first if the
-chip wedges again mid-queue.
+Round-5 ordering policy (VERDICT r4 next #4 — round 4's only chip window
+produced one number because the never-measured headline gamble ran
+first):
+
+  1. BANK A CHEAP WIN FIRST: ``bank_occupancy`` (BENCH_MODE=occupancy,
+     ~3 min on a healthy chip) proves the chip and lands the headline
+     train number before anything risky runs.
+  2. The verify drive next (small known-good program shapes).
+  3. Only then the never-measured items (baked frame matrix, frame
+     bench), each with ``retries=1`` — TWO strikes and the queue moves
+     on instead of burning a third 30-minute window.
+  4. Long trains and the reference head-to-head last.
 """
 
 MB = ("python tools/measure_baked.py runs/ours_ngp_long.pkl "
@@ -30,17 +38,11 @@ CKPT = "runs/ours_ngp_long.pkl"
 BAKED_REQ = [CKPT, "runs/scene_train/metadata.json",
              "runs/scene_test/metadata.json"]
 
-QUEUE_R4 = [
-    # ---- tier -1: regenerate the gitignored inputs -------------------------
+QUEUE_R5 = [
+    # ---- tier -1: regenerate the gitignored inputs (CPU, idempotent) -------
     # runs/ does not survive a container re-provision (it is gitignored);
     # every dataset and checkpoint the queue consumes must be rebuildable
-    # from the repo alone.  scenes_make is deterministic (seeded C++
-    # renders), shuffle_prewarm builds the shard caches on the CPU env so
-    # the first TPU epoch is not ~80x slower (CLAUDE.md), and
-    # ngp_long_train retrains the flagship checkpoint the baked/eval items
-    # measure (1500 pooled steps, ~17.0 dB — quality saturates by 1500
-    # steps on this scene, BASELINE.md, so the round-2 21k-step original
-    # is not needed for baked-vs-live timing or lever evals).
+    # from the repo alone.
     dict(name="scenes_make", tpu=False, produces=SCENES,
          cmd="bash tools/make_bench_scenes.sh > runs/scenes_make.log 2>&1",
          timeout=1200),
@@ -56,118 +58,65 @@ QUEUE_R4 = [
               "    print('prewarmed', d)\""
               " > runs/shuffle_prewarm.log 2>&1"),
          timeout=1800),
+    # A SURVIVING checkpoint is never destroyed (ADVICE r4): the retrain
+    # runs only when the file is absent, so downstream absolute-PSNR rows
+    # keep their meaning vs BASELINE.md whenever the original (round-2
+    # 21k-step or round-4 1500-step) checkpoint is still on disk.
     dict(name="ngp_long_train", produces=[CKPT],
          requires=["runs/scene_train/metadata.json",
                    "runs/scene_train/shuffled/done"],
-         cmd=(f"rm -f {CKPT} && {TRAIN} --instant_ngp --batch_size 4096 "
+         cmd=(f"test -f {CKPT} || {TRAIN} --instant_ngp --batch_size 4096 "
               "--lr 1e-2 --seed 0 --occupancy --occ_train_budget 12 "
               "--occ_train_budget_start 400 --steps 1500 "
               f"--save_path {CKPT} runs/scene_train "
               "> runs/ours_ngp_long.log 2>&1"),
          timeout=1800, stall_secs=1200, log="runs/ours_ngp_long.log"),
 
-    # ---- tier 0: minutes each, headline evidence --------------------------
-    # Timeouts here are sized to the measured shape of one measure_baked
-    # run (~5 min cold compile + seconds of renders + one on-chip bake),
-    # NOT padded to hours: the runner reserves `timeout` seconds of chip
-    # time against --deadline-epoch, so a padded timeout makes an item
-    # undispatchable in the exact end-of-round window it exists for.
-    dict(name="baked_384_512", requires=BAKED_REQ,
-         cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
-         timeout=1800, log="runs/measure_baked.log"),
-    # Full round-4 lever stack FIRST among the variants (the projected
-    # ~1 s headline point): if the chip window closes mid-tier, the
-    # baseline + the headline config are the two rows that must exist.
-    dict(name="baked_combo_bg4_span_bg4", requires=BAKED_REQ,
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
-              f"--pack 4 --block_gather 4 --span_block_gather 4 "
-              f"> runs/measure_baked_bg4sb4.log 2>&1"),
-         timeout=1200, log="runs/measure_baked_bg4sb4.log"),
-    dict(name="baked_combo_p4_c96", requires=BAKED_REQ,
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
-              f"--pack 4 > runs/measure_baked_combo.log 2>&1"),
-         timeout=1200, log="runs/measure_baked_combo.log"),
-    dict(name="baked_combo_p4_c64", requires=BAKED_REQ,
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 64 "
-              f"--pack 4 > runs/measure_baked_combo64.log 2>&1"),
-         timeout=1200, log="runs/measure_baked_combo64.log"),
-    # Block-word occupancy gathers (round 4): after baking, SELECTION
-    # gathers dominate the frame (~100M vs ~13M field) — stride-k packed
-    # rows cut them ~k-fold.  PSNR-vs-live in the same log tracks the
-    # bake error; the eval item below pins absolute quality vs the
-    # per-cell path on the held-out views.
-    dict(name="baked_combo_bg2", requires=BAKED_REQ,
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
-              f"--pack 4 --block_gather 2 > runs/measure_baked_bg2.log 2>&1"),
-         timeout=1200, log="runs/measure_baked_bg2.log"),
-    dict(name="baked_combo_bg4", requires=BAKED_REQ,
-         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
-              f"--pack 4 --block_gather 4 > runs/measure_baked_bg4.log 2>&1"),
-         timeout=1200, log="runs/measure_baked_bg4.log"),
-    dict(name="eval_block_gather4",
-         requires=[CKPT, "runs/scene_test/metadata.json"],
-         cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
-              "--occ_block_gather 4 --occ_budget_per_ray auto "
-              "--model_path runs/ours_ngp_long.pkl runs/scene_test "
-              "> runs/eval_block_gather4.log 2>&1"),
-         timeout=1200, log="runs/eval_block_gather4.log"),
-    # bench.py prints its JSON only at the end, so one all-modes run is
-    # all-or-nothing under a timeout: split the train submetrics from the
-    # frame bench so each piece's chip time is bounded separately.  These
-    # run AFTER the baked measurements: the driver reruns bench.py at
-    # round end regardless, so the queue's copy is a belt-and-braces log
-    # capture, not the only shot at the roofline numbers.
-    dict(name="bench_roofline",
-         cmd=("env BENCH_MODE=occupancy,pooled,parity,vanilla "
-              "python bench.py > runs/bench_r4.log 2>&1"),
-         # 5 train configs (occupancy/pooled/parity/vanilla/bf16), each
-         # with a cold ~2-5 min remote compile: budget generously.
-         timeout=3000, log="runs/bench_r4.log"),
-    dict(name="bench_frame",
-         cmd=("env BENCH_MODE=frame "
-              "python bench.py > runs/bench_r4_frame.log 2>&1"),
-         # on-chip 384^3 bake + one cold compile per auto-budget bucket.
-         timeout=1800, log="runs/bench_r4_frame.log"),
+    # ---- tier 0: bank the headline FIRST (minutes, known-good program) -----
+    dict(name="bank_occupancy",
+         cmd=("env BENCH_MODE=occupancy "
+              "python bench.py > runs/bench_r5_occupancy.log 2>&1"),
+         timeout=1200, log="runs/bench_r5_occupancy.log"),
 
-    # ---- tier 1: the /verify end-to-end drive (train+render on chip) ------
+    # ---- tier 0b: the /verify end-to-end drive (train+render on chip) ------
     dict(name="verify_scene_write", produces=["/tmp/verify_scene/metadata.json"], tpu=False,
          cmd=(f"{CPUPFX} python -c \"import sys; sys.path.insert(0, '.');"
               "from tests.synthetic_scene import write_dataset;"
               "write_dataset('/tmp/verify_scene', num_views=8, resolution=32)\""
-              " > runs/verify_r4.log 2>&1"),
+              " > runs/verify_r5.log 2>&1"),
          timeout=600),
     dict(name="verify_train_dense", produces=["/tmp/verify_nerf.pkl"],
          cmd=(f"rm -f /tmp/verify_nerf.pkl && {TRAIN} {_VERIFY_TRAIN_FLAGS} --coarse_samples 16 "
               "--fine_samples 16 --steps 600 --save_path /tmp/verify_nerf.pkl "
-              "/tmp/verify_scene >> runs/verify_r4.log 2>&1"),
-         timeout=1200, stall_secs=900, log="runs/verify_r4.log"),
+              "/tmp/verify_scene >> runs/verify_r5.log 2>&1"),
+         timeout=1200, stall_secs=900, log="runs/verify_r5.log"),
     dict(name="verify_render_dense", produces=["/tmp/verify_out.png"], requires=["/tmp/verify_nerf.pkl"],
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 --coarse_samples 16 "
               "--fine_samples 16 --width 32 --height 32 "
               "--model_path /tmp/verify_nerf.pkl /tmp/verify_scene/metadata.json "
               "/tmp/verify_scene/0000.json /tmp/verify_out.png "
-              ">> runs/verify_r4.log 2>&1"),
-         timeout=900, log="runs/verify_r4.log"),
+              ">> runs/verify_r5.log 2>&1"),
+         timeout=900, log="runs/verify_r5.log"),
     dict(name="verify_train_occ", produces=["/tmp/verify_ngp.pkl"],
          cmd=(f"rm -f /tmp/verify_ngp.pkl && {TRAIN} {_VERIFY_TRAIN_FLAGS} {_OCC_FLAGS} "
               "--occ_train_budget auto --occ_train_budget_start 300 --steps 600 "
               "--save_path /tmp/verify_ngp.pkl /tmp/verify_scene "
-              ">> runs/verify_r4.log 2>&1"),
-         timeout=1200, stall_secs=900, log="runs/verify_r4.log"),
+              ">> runs/verify_r5.log 2>&1"),
+         timeout=1200, stall_secs=900, log="runs/verify_r5.log"),
     dict(name="verify_render_occ", produces=["/tmp/verify_occ.png"], requires=["/tmp/verify_ngp.pkl"],
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 {_OCC_FLAGS} "
               "--occ_budget_per_ray auto --width 32 --height 32 "
               "--model_path /tmp/verify_ngp.pkl /tmp/verify_scene/metadata.json "
               "/tmp/verify_scene/0000.json /tmp/verify_occ.png "
-              ">> runs/verify_r4.log 2>&1"),
-         timeout=900, log="runs/verify_r4.log"),
+              ">> runs/verify_r5.log 2>&1"),
+         timeout=900, log="runs/verify_r5.log"),
     dict(name="verify_render_baked", produces=["/tmp/verify_baked.png"], requires=["/tmp/verify_ngp.pkl"],
          cmd=(f"{RENDER} --seed 0 --batch_size 1024 {_OCC_FLAGS} "
               "--occ_budget_per_ray auto --baked 128 --baked_pack 2 "
               "--width 32 --height 32 --model_path /tmp/verify_ngp.pkl "
               "/tmp/verify_scene/metadata.json /tmp/verify_scene/0000.json "
-              "/tmp/verify_baked.png >> runs/verify_r4.log 2>&1"),
-         timeout=900, log="runs/verify_r4.log"),
+              "/tmp/verify_baked.png >> runs/verify_r5.log 2>&1"),
+         timeout=900, log="runs/verify_r5.log"),
     dict(name="verify_psnr", tpu=False,
          requires=["/tmp/verify_out.png", "/tmp/verify_occ.png",
                    "/tmp/verify_baked.png"],
@@ -178,8 +127,71 @@ QUEUE_R4 = [
               "for n in ('/tmp/verify_out.png','/tmp/verify_occ.png','/tmp/verify_baked.png'):\n"
               "    p = np.asarray(Image.open(n)).astype(np.float32)\n"
               "    print('VERIFY', n, 'PSNR', 10*np.log10(255**2/((p-g)**2).mean()))\""
-              " >> runs/verify_r4.log 2>&1"),
+              " >> runs/verify_r5.log 2>&1"),
          timeout=300),
+
+    # ---- tier 1: the never-measured items, two strikes each ---------------
+    # The round-4 blocker (frame programs jitting the baked grid as a
+    # 7.26 GB captured constant) is fixed and gated by
+    # tests/test_constants.py; these get their first-ever chip numbers.
+    # retries=1 == at most TWO attempts before the queue moves on.
+    dict(name="bench_frame", retries=1,
+         cmd=("env BENCH_MODE=frame "
+              "python bench.py > runs/bench_r5_frame.log 2>&1"),
+         # on-chip 384^3 bake + one cold compile per auto-budget bucket;
+         # bench.py's own BENCH_FRAME_TIMEOUT watchdog (1500 s) fires
+         # first and still prints a parseable line.
+         timeout=1800, log="runs/bench_r5_frame.log"),
+    dict(name="baked_384_512", requires=BAKED_REQ, retries=1,
+         cmd=f"{MB} --resolutions 384,512 > runs/measure_baked.log 2>&1",
+         timeout=1800, log="runs/measure_baked.log"),
+    # Full round-4 lever stack (the projected ~1 s headline point), then
+    # the single-lever decomposition rows.
+    dict(name="baked_combo_bg4_span_bg4", requires=BAKED_REQ, retries=1,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
+              f"--pack 4 --block_gather 4 --span_block_gather 4 "
+              f"> runs/measure_baked_bg4sb4.log 2>&1"),
+         timeout=1200, log="runs/measure_baked_bg4sb4.log"),
+    dict(name="baked_combo_p4_c96", requires=BAKED_REQ, retries=1,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
+              f"--pack 4 > runs/measure_baked_combo.log 2>&1"),
+         timeout=1200, log="runs/measure_baked_combo.log"),
+    dict(name="baked_combo_p4_c64", requires=BAKED_REQ, retries=1,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 64 "
+              f"--pack 4 > runs/measure_baked_combo64.log 2>&1"),
+         timeout=1200, log="runs/measure_baked_combo64.log"),
+    dict(name="baked_combo_bg2", requires=BAKED_REQ, retries=1,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
+              f"--pack 4 --block_gather 2 > runs/measure_baked_bg2.log 2>&1"),
+         timeout=1200, log="runs/measure_baked_bg2.log"),
+    dict(name="baked_combo_bg4", requires=BAKED_REQ, retries=1,
+         cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
+              f"--pack 4 --block_gather 4 > runs/measure_baked_bg4.log 2>&1"),
+         timeout=1200, log="runs/measure_baked_bg4.log"),
+    # The per-lever frame matrix in one process (shared bake cache): the
+    # decomposition table VERDICT r4 #5 requires before --occ_block_gather
+    # may stay default-recommended.
+    dict(name="frame_matrix", retries=1,
+         cmd=("python tools/frame_matrix.py --size 800 --reps 3 "
+              "> runs/frame_matrix_r5.log 2>&1"),
+         timeout=3600, log="runs/frame_matrix_r5.log"),
+    dict(name="eval_block_gather4",
+         requires=[CKPT, "runs/scene_test/metadata.json"],
+         cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --occupancy "
+              "--occ_block_gather 4 --occ_budget_per_ray auto "
+              "--model_path runs/ours_ngp_long.pkl runs/scene_test "
+              "> runs/eval_block_gather4.log 2>&1"),
+         timeout=1200, log="runs/eval_block_gather4.log"),
+    # Roofline/MFU for the train submetrics that are not yet banked
+    # (occupancy already landed in tier 0).  bench.py now RE-EMITS its
+    # headline JSON after every submetric, so even a timeout keeps every
+    # completed mode (the ADVICE r4 all-or-nothing concern is structural
+    # now, not a timeout-sizing question); 3600 s still budgets five cold
+    # ~2-5 min remote compiles.
+    dict(name="bench_roofline",
+         cmd=("env BENCH_MODE=pooled,parity,vanilla "
+              "python bench.py > runs/bench_r5_roofline.log 2>&1"),
+         timeout=3600, log="runs/bench_r5_roofline.log"),
 
     # ---- tier 2: flagship quality rows -------------------------------------
     dict(name="ngp_scan8_throughput",
@@ -208,7 +220,7 @@ QUEUE_R4 = [
               "> runs/eval_ours_ngp_cosine.log 2>&1"),
          timeout=2400, log="runs/eval_ours_ngp_cosine.log"),
 
-    # ---- tier 3: Ref-NeRF / NGPxRef head-to-heads (VERDICT #3) --------------
+    # ---- tier 3: Ref-NeRF / NGPxRef head-to-heads (VERDICT #5) --------------
     dict(name="ours_refnerf_train",
          requires=["runs/scene_shiny_train/metadata.json",
                    "runs/scene_shiny_train/shuffled/done"],
@@ -260,8 +272,10 @@ QUEUE_R4 = [
               "> runs/eval_ref_refnerf.log 2>&1"),
          timeout=3600, log="runs/eval_ref_refnerf.log"),
 
-    # ---- tier 4: blender-protocol converted-scene e2e (VERDICT r2 #4) ------
+    # ---- tier 4: blender-protocol converted-scene e2e on chip --------------
     dict(name="blender_standin_make", tpu=False,
+         produces=["runs/scene_blender_train/metadata.json",
+                   "runs/scene_blender_test/metadata.json"],
          cmd=("rm -rf runs/blender_capture runs/scene_blender_train "
               "runs/scene_blender_test && "
               f"{CPUPFX} python tools/make_blender_standin.py "
@@ -274,6 +288,7 @@ QUEUE_R4 = [
               ">> runs/blender_e2e.log 2>&1"),
          timeout=1200),
     dict(name="blender_e2e_train",
+         requires=["runs/scene_blender_train/metadata.json"],
          cmd=(f"rm -f runs/blender_e2e.pkl && {TRAIN} --batch_size 1024 --lr 2e-3 --seed 0 --occupancy "
               "--occ_candidates 64 --occ_samples 24 --occ_grid 64 --steps 1000 "
               "--save_path runs/blender_e2e.pkl runs/scene_blender_train "
@@ -286,15 +301,15 @@ QUEUE_R4 = [
          timeout=1200, log="runs/blender_e2e.log"),
 
     # ---- tier 5: secondary baked variants ----------------------------------
-    dict(name="baked_span_512", requires=BAKED_REQ,
+    dict(name="baked_span_512", requires=BAKED_REQ, retries=1,
          cmd=(f"{MB} --resolutions 512 --span_candidates 96 "
               "> runs/measure_baked_span.log 2>&1"),
          timeout=1500, log="runs/measure_baked_span.log"),
-    dict(name="baked_pack2", requires=BAKED_REQ,
+    dict(name="baked_pack2", requires=BAKED_REQ, retries=1,
          cmd=(f"{MB} --resolutions 384,512 --pack 2 "
               "> runs/measure_baked_p2.log 2>&1"),
          timeout=1500, log="runs/measure_baked_p2.log"),
-    dict(name="baked_256_p8", requires=BAKED_REQ,
+    dict(name="baked_256_p8", requires=BAKED_REQ, retries=1,
          cmd=(f"{MB} --resolutions 256 --span_candidates 96 --candidates 96 "
               "--pack 8 > runs/measure_baked_256p8.log 2>&1"),
          timeout=1200, log="runs/measure_baked_256p8.log"),
@@ -302,17 +317,19 @@ QUEUE_R4 = [
     # ---- final: self-assembling results table -------------------------------
     dict(name="summary_tables", tpu=False,
          cmd=(f"{CPUPFX} python tools/summarize_runs.py runs "
-              "> runs/summary_r4.md 2>&1"),
+              "> runs/summary_r5.md 2>&1"),
          timeout=300),
-    # runs/ is gitignored and does not survive a container re-provision
-    # (round 4 lost every round-2/3 artifact this way): mirror the logs
-    # and summary into a TRACKED directory, so any end-of-round commit of
-    # the working tree preserves the measurement evidence itself.
+    # runs/ is gitignored and does not survive a container re-provision:
+    # mirror the logs and summary into a TRACKED directory.  No error
+    # suppression (ADVICE r4): a failed/empty copy must write a .fail
+    # marker, not a done marker, or the evidence silently vanishes.
     dict(name="archive_logs", tpu=False,
-         cmd=("mkdir -p docs/measurements/r4 && "
-              "cp -f runs/*.log runs/summary_r4.md docs/measurements/r4/ "
-              "2>/dev/null; ls docs/measurements/r4 | head -50"),
+         cmd=("mkdir -p docs/measurements/r5 && "
+              "cp -f runs/*.log docs/measurements/r5/ && "
+              "cp -f runs/summary_r5.md docs/measurements/r5/ && "
+              "test -n \"$(ls docs/measurements/r5)\" && "
+              "ls docs/measurements/r5 | head -50"),
          timeout=120),
 ]
 
-QUEUES = {"r4": QUEUE_R4}
+QUEUES = {"r5": QUEUE_R5}
