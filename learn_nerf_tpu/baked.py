@@ -50,9 +50,9 @@ Array = jnp.ndarray
 class BakedInstantNGP(FieldModel):
     """Dense-grid spatial field + the original NGP color head.
 
-    Params: ``grid`` — ``[resolution^3, pack * density_dim]`` spatial
-    feature table (vertex-sampled, trilinearly interpolated; channel 0 is
-    log density) — plus the color-head Dense layers copied verbatim from
+    Params: ``grid`` — the spatial feature table (vertex-sampled,
+    trilinearly interpolated; channel 0 of each logical row is the log
+    density) — plus the color-head Dense layers copied verbatim from
     the trained model by :func:`bake_instant_ngp`.
 
     ``pack`` trades HBM for gather count (XLA's gather throughput is
@@ -65,6 +65,24 @@ class BakedInstantNGP(FieldModel):
     gathered ``[8/pack, pack, F]`` rows reshape to the standard
     ``[8, F]`` corner order and the interpolation below is bit-identical
     to ``pack=1``.
+
+    **Physical storage is tile-aligned: rows are 128 elements wide.**
+    TPU HLO buffers are tiled ``(8, 128)`` on the two minor dims, so a
+    ``[rows, W]`` table with W < 128 is padded to 128 lanes inside the
+    frame program — measured on-chip 2026-08-19: the 384^3 pack-4 grid
+    (``bf16[56623104, 64]``, 6.75 GB) materialized as a 13.50 GB padded
+    copy (``copy.146``, "2.0x expansion") and the compile died with
+    "Ran out of memory in memory space hbm. Used 21.13G of 15.75G"
+    (docs/measurements/r5/bench_r5_frame_oom.log); at pack 1 (W=16) the
+    padding is 8x.  The table is therefore stored as
+    ``[ceil(resolution^3 / S), 128]`` with ``S = 128 // (pack *
+    density_dim)`` consecutive logical rows per physical row: logical
+    row ``i`` lives in physical row ``i // S`` at lane offset
+    ``(i % S) * W``.  Zero padding, zero in-program relayout copy, and
+    the sub-row select is a mask-and-sum (VPU elementwise; a
+    ``take_along_axis`` would lower to a second count-bound gather).
+    When ``pack * density_dim`` does not divide 128 the layout falls
+    back to one logical row per physical row.
     """
 
     resolution: int
@@ -86,9 +104,12 @@ class BakedInstantNGP(FieldModel):
         p = self.pack
         if p not in (1, 2, 4, 8):
             raise ValueError(f"pack must be 1, 2, 4, or 8 (got {p})")
+        w = p * self.density_dim
+        s = physical_rows_per_row(w)
+        nrows = -(-(r**3) // s)
         grid = self.param(
             "grid",
-            lambda key: jnp.zeros((r**3, p * self.density_dim), jnp.bfloat16),
+            lambda key: jnp.zeros((nrows, s * w), jnp.bfloat16),
         )
         bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
         bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
@@ -103,10 +124,19 @@ class BakedInstantNGP(FieldModel):
         cy = rows[..., 1].astype(jnp.int32)
         cz = rows[..., 2].astype(jnp.int32)
         idx = cx + r * (cy + r * cz)
-        feats = jnp.take(grid, idx, axis=0)  # [..., 8/p, p*F]
-        feats = feats.reshape(*feats.shape[:-2], 8, self.density_dim).astype(
-            jnp.float32
-        )
+        if s > 1:
+            # One 128-wide gather per row group, then an exact mask-sum
+            # select of the logical sub-row (adding 0.0 never changes a
+            # float, so this is bit-identical to gathering [..., w]).
+            feats = jnp.take(grid, idx // s, axis=0)  # [..., 8/p, s*w]
+            feats = feats.reshape(*feats.shape[:-1], s, w).astype(jnp.float32)
+            onehot = (idx % s)[..., None] == jnp.arange(s, dtype=jnp.int32)
+            feats = jnp.sum(
+                jnp.where(onehot[..., None], feats, 0.0), axis=-2
+            )  # [..., 8/p, w]
+        else:
+            feats = jnp.take(grid, idx, axis=0).astype(jnp.float32)
+        feats = feats.reshape(*feats.shape[:-2], 8, self.density_dim)
         out = jnp.sum(weights[..., None] * feats, axis=-2)  # [..., F]
 
         density = jnp.exp(out[..., 0:1])
@@ -117,6 +147,34 @@ class BakedInstantNGP(FieldModel):
             h = nn.relu(nn.Dense(self.hidden_dim, dtype=cdtype)(h))
         color = nn.tanh(nn.Dense(3, dtype=cdtype)(h).astype(jnp.float32))
         return density, color, {}
+
+
+def physical_rows_per_row(width: int) -> int:
+    """Logical rows per 128-lane physical row (1 when width ∤ 128)."""
+    if width <= 128 and 128 % width == 0:
+        return 128 // width
+    return 1
+
+
+def to_physical(grid: Array, width: int) -> Array:
+    """Reshape a ``[rows, width]`` logical table to tile-aligned physical
+    ``[ceil(rows / S), S * width]`` storage (S 128-lane-packed logical
+    rows per physical row; zero-padded tail rows are never gathered —
+    the max logical index is ``rows - 1``).  See
+    :class:`BakedInstantNGP` for why: sub-128 minor dims pad up to 8x
+    inside TPU programs."""
+    rows, w = grid.shape
+    assert w == width
+    s = physical_rows_per_row(width)
+    if s == 1:
+        return grid
+    nrows = -(-rows // s)
+    pad = nrows * s - rows
+    if pad:
+        grid = jnp.concatenate(
+            [grid, jnp.zeros((pad, width), grid.dtype)], axis=0
+        )
+    return grid.reshape(nrows, s * width)
 
 
 def pack_baked_grid(grid: Array, resolution: int, pack: int) -> Array:
@@ -227,8 +285,16 @@ def bake_instant_ngp(
 
     t0 = time.time()
     grid = sweep(params).reshape(r**3, -1)
+    feat_dim = int(grid.shape[-1])
+    # Pack + tile-align in ONE program so no [rows, sub-128] table is
+    # ever a program output (outputs materialize in padded tiled
+    # layouts on TPU — see BakedInstantNGP's layout note).
     if pack != 1:
-        grid = jax.jit(pack_baked_grid, static_argnums=(1, 2))(grid, r, pack)
+        grid = jax.jit(
+            lambda g: to_physical(pack_baked_grid(g, r, pack), pack * feat_dim)
+        )(grid)
+    else:
+        grid = jax.jit(lambda g: to_physical(g, feat_dim))(grid)
     # block_until_ready can return early on the remote-TPU backend
     # (CLAUDE.md); a host fetch of an element of the LAST chunk is the
     # reliable fence for the reported bake time.
@@ -257,8 +323,9 @@ def bake_instant_ngp(
     if verbose:
         gb = grid.size * grid.dtype.itemsize / 1e9
         print(
-            f"baked {r}^3 x {grid.shape[-1]} spatial grid "
-            f"({gb:.2f} GB {grid.dtype}, pack {pack}) "
+            f"baked {r}^3 x {feat_dim} spatial grid "
+            f"({gb:.2f} GB {grid.dtype}, pack {pack}, "
+            f"{grid.shape[-1]}-lane physical rows) "
             f"in {time.time() - t0:.1f} s",
             flush=True,
         )

@@ -48,7 +48,13 @@ def test_bake_exact_at_lattice_vertices():
     baked, baked_params = bake_instant_ngp(
         model, params, r, dtype=jnp.float32, verbose=False
     )
-    assert baked_params["grid"].shape == (r**3, 4)
+    # Tile-aligned physical storage: 128-lane rows, S = 128 // width
+    # logical rows per physical row, tail zero-padded (see
+    # BakedInstantNGP's layout note).
+    from learn_nerf_tpu.baked import physical_rows_per_row
+
+    s = physical_rows_per_row(4)
+    assert baked_params["grid"].shape == (-(-(r**3) // s), s * 4)
 
     # All lattice vertices, random view directions.
     ax = np.linspace(-1.0, 1.0, r).astype(np.float32)
@@ -87,7 +93,10 @@ def test_packed_grid_bitwise_identical(pack):
     packed, packed_params = bake_instant_ngp(
         model, params, r, dtype=jnp.float32, pack=pack, verbose=False
     )
-    assert packed_params["grid"].shape == (r**3, pack * 4)
+    from learn_nerf_tpu.baked import physical_rows_per_row
+
+    s = physical_rows_per_row(pack * 4)
+    assert packed_params["grid"].shape == (-(-(r**3) // s), s * pack * 4)
 
     rng = np.random.RandomState(7)
     pts = (rng.rand(257, 3).astype(np.float32) * 2.0 - 1.0) * 0.999
@@ -305,3 +314,28 @@ def test_baked_cache_roundtrip(tmp_path, capsys):
     d2, c2, _ = baked2.apply(dict(params=p2), pts, dirs)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_physical_layout_roundtrip():
+    """to_physical packs S consecutive logical rows per 128-lane physical
+    row, zero-padding the tail: flattening back must recover the logical
+    table exactly, and non-dividing widths must fall back to identity."""
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.baked import physical_rows_per_row, to_physical
+
+    rng = np.random.RandomState(3)
+    for rows, w in [(729, 4), (729, 16), (64, 32), (100, 64), (7, 128)]:
+        g = jnp.asarray(rng.randn(rows, w).astype(np.float32))
+        s = physical_rows_per_row(w)
+        phys = to_physical(g, w)
+        assert phys.shape == (-(-rows // s), s * w)
+        assert phys.shape[1] == 128 or s == 1
+        back = np.asarray(phys).reshape(-1, w)[:rows]
+        np.testing.assert_array_equal(back, np.asarray(g))
+
+    # width 24 does not divide 128: layout falls back to one logical row
+    # per physical row (no padding, no repack).
+    assert physical_rows_per_row(24) == 1
+    g = jnp.asarray(rng.randn(11, 24).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(to_physical(g, 24)), np.asarray(g))
