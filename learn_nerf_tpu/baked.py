@@ -217,16 +217,27 @@ def pack_baked_grid(grid: Array, resolution: int, pack: int) -> Array:
 
 
 def _make_sweep(model: InstantNGPModel, r: int, dtype):
-    """Jitted dense-lattice sweep: ``params -> [r, r*r, features]``.
+    """Jitted dense-lattice sweep: ``params -> (sweep_fn, physical?)``.
 
     Params are a jit ARGUMENT (never a closure capture — a captured
     param tree lowers as program constants and ships to the remote
     compiler; tests/test_constants.py gates this).  One device program:
     r chunks of r^2 lattice vertices, positions derived on device (no
     host-side point tensor).
+
+    When the 128-lane physical packing divides each z-plane exactly
+    (``S | r^2``, true for every even production resolution at
+    density_dim 16), each chunk emits ``[r^2/S, 128]`` tile-aligned rows
+    and the sweep output IS the physical pack-1 table — no wide logical
+    array is ever a program output.  Program outputs materialize in
+    padded tiled layouts on TPU: the logical ``[r^3, 16]`` table at
+    384^3 cost 8x its size in padding and the bake died with
+    ResourceExhausted (on-chip, 2026-08-19) before this change.
     """
     bbox_min = jnp.asarray(model.bbox_min, dtype=jnp.float32)
     bbox_max = jnp.asarray(model.bbox_max, dtype=jnp.float32)
+    s = physical_rows_per_row(model.density_dim)
+    physical = s > 1 and (r * r) % s == 0
 
     @jax.jit
     def sweep(params):
@@ -241,11 +252,14 @@ def _make_sweep(model: InstantNGPModel, r: int, dtype):
             feats = model.apply(
                 dict(params=params), pts, jnp.zeros_like(pts), spatial_only=True
             )
-            return feats.astype(dtype)
+            feats = feats.astype(dtype)
+            if physical:
+                feats = feats.reshape(r * r // s, s * feats.shape[-1])
+            return feats
 
         return jax.lax.map(chunk, jnp.arange(r, dtype=jnp.int32))
 
-    return sweep
+    return sweep, physical
 
 
 def bake_instant_ngp(
@@ -281,20 +295,28 @@ def bake_instant_ngp(
             f"(got {type(model).__name__})"
         )
     r = resolution
-    sweep = _make_sweep(model, r, dtype)
+    feat_dim = int(model.density_dim)
+    sweep, sweep_physical = _make_sweep(model, r, dtype)
 
     t0 = time.time()
-    grid = sweep(params).reshape(r**3, -1)
-    feat_dim = int(grid.shape[-1])
-    # Pack + tile-align in ONE program so no [rows, sub-128] table is
-    # ever a program output (outputs materialize in padded tiled
-    # layouts on TPU — see BakedInstantNGP's layout note).
+    grid = sweep(params).reshape(
+        -1, 128 if sweep_physical else feat_dim
+    )
+    # Pack + tile-align in ONE donated program so no [rows, sub-128]
+    # table is ever a program output (outputs materialize in padded
+    # tiled layouts on TPU — see BakedInstantNGP's layout note) and the
+    # pack-1 input buffer is released into the repack.
     if pack != 1:
+
+        def _repack(g):
+            logical = g.reshape(r**3, feat_dim)
+            return to_physical(pack_baked_grid(logical, r, pack), pack * feat_dim)
+
+        grid = jax.jit(_repack, donate_argnums=0)(grid)
+    elif not sweep_physical:
         grid = jax.jit(
-            lambda g: to_physical(pack_baked_grid(g, r, pack), pack * feat_dim)
+            lambda g: to_physical(g, feat_dim), donate_argnums=0
         )(grid)
-    else:
-        grid = jax.jit(lambda g: to_physical(g, feat_dim))(grid)
     # block_until_ready can return early on the remote-TPU backend
     # (CLAUDE.md); a host fetch of an element of the LAST chunk is the
     # reliable fence for the reported bake time.

@@ -339,3 +339,43 @@ def test_physical_layout_roundtrip():
     assert physical_rows_per_row(24) == 1
     g = jnp.asarray(rng.randn(11, 24).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(to_physical(g, 24)), np.asarray(g))
+
+
+def test_bake_in_sweep_physical_path():
+    """At production density_dim (16) and even resolutions the sweep
+    emits tile-aligned physical rows directly (S | r^2); the result must
+    match the live model at lattice vertices exactly, same as the
+    fallback path."""
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.baked import (
+        bake_instant_ngp,
+        _make_sweep,
+        physical_rows_per_row,
+    )
+
+    model, params = _tiny_ngp(density_dim=16)
+    r = 8
+    _, physical = _make_sweep(model, r, jnp.float32)
+    assert physical  # S=8 divides r^2=64
+    baked, bp = bake_instant_ngp(model, params, r, dtype=jnp.float32, verbose=False)
+    s = physical_rows_per_row(16)
+    assert bp["grid"].shape == (r**3 // s, 128)
+
+    ax = np.linspace(-1.0, 1.0, r).astype(np.float32)
+    pts = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1).reshape(-1, 3)
+    dirs = _random_dirs(pts.shape[0], seed=5)
+    ref_d, ref_c, _ = model.apply(
+        dict(params=params), jnp.asarray(pts), jnp.asarray(dirs)
+    )
+    d, c, _ = baked.apply(dict(params=bp), jnp.asarray(pts), jnp.asarray(dirs))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(ref_c), rtol=1e-4, atol=1e-5)
+
+    # Packed bake from the physical sweep: still bit-identical to pack 1.
+    packed, pp = bake_instant_ngp(
+        model, params, r, dtype=jnp.float32, pack=4, verbose=False
+    )
+    d4, c4, _ = packed.apply(dict(params=pp), jnp.asarray(pts), jnp.asarray(dirs))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d4))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c4))

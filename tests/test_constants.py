@@ -136,7 +136,7 @@ def test_bake_sweep_constant_free():
     total = sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
     # Tiny table sizes keep params small; pad the check by asserting the
     # traced consts stay far below even this param tree's size.
-    sweep = _make_sweep(model, 33, jnp.float32)
+    sweep, _ = _make_sweep(model, 33, jnp.float32)
     traced = sweep.trace(params)
     assert _consts_bytes(traced.jaxpr) < min(CONST_BUDGET_BYTES, total)
 
