@@ -66,23 +66,30 @@ class BakedInstantNGP(FieldModel):
     ``[8, F]`` corner order and the interpolation below is bit-identical
     to ``pack=1``.
 
-    **Physical storage is tile-aligned: rows are 128 elements wide.**
-    TPU HLO buffers are tiled ``(8, 128)`` on the two minor dims, so a
-    ``[rows, W]`` table with W < 128 is padded to 128 lanes inside the
-    frame program — measured on-chip 2026-08-19: the 384^3 pack-4 grid
-    (``bf16[56623104, 64]``, 6.75 GB) materialized as a 13.50 GB padded
-    copy (``copy.146``, "2.0x expansion") and the compile died with
-    "Ran out of memory in memory space hbm. Used 21.13G of 15.75G"
-    (docs/measurements/r5/bench_r5_frame_oom.log); at pack 1 (W=16) the
-    padding is 8x.  The table is therefore stored as
-    ``[ceil(resolution^3 / S), 128]`` with ``S = 128 // (pack *
-    density_dim)`` consecutive logical rows per physical row: logical
-    row ``i`` lives in physical row ``i // S`` at lane offset
-    ``(i % S) * W``.  Zero padding, zero in-program relayout copy, and
-    the sub-row select is a mask-and-sum (VPU elementwise; a
+    **Physical storage is tile-aligned and segmented: rows are
+    ``pack * 128`` lanes wide.**  TPU HLO buffers are tiled ``(8, 128)``
+    on the two minor dims, so a ``[rows, W]`` table with W < 128 is
+    padded to 128 lanes inside the frame program — measured on-chip
+    2026-08-19: the 384^3 pack-4 grid (``bf16[56623104, 64]``, 6.75 GB)
+    materialized as a 13.50 GB padded copy and the compile died with
+    "Used 21.13G of 15.75G hbm"
+    (docs/measurements/r5/bench_r5_frame_oom.log); at W=16 the padding
+    is 8x, and an interleaved-at-W repack OOMed the *bake* instead (its
+    in-program 4-D logical view materialized five padded 13.5 GB
+    buffers, docs/measurements/r5/frame_matrix_repack_oom.log).  The
+    table is therefore stored in SEGMENTS: with ``S = 128 //
+    density_dim`` consecutive logical rows per 128-lane block, physical
+    row ``n``, segment ``c`` (lanes ``[128c, 128c+128)``) holds the
+    corner-shift-``c`` features of logical rows ``nS .. nS+S-1`` —
+    logical row ``i``'s pack block lives at physical row ``i // S``,
+    lane offset ``(i % S) * density_dim`` within each segment.  Zero
+    padding, zero in-program relayout, and the bake can BUILD every
+    segment with 128-lane-aligned row shifts of the pack-1 table (no
+    wide logical tensor ever exists, :func:`pack_baked_grid`).  The
+    sub-row select is a mask-and-sum (VPU elementwise; a
     ``take_along_axis`` would lower to a second count-bound gather).
-    When ``pack * density_dim`` does not divide 128 the layout falls
-    back to one logical row per physical row.
+    When ``density_dim`` does not divide 128 the layout falls back to
+    one logical row per physical row.
     """
 
     resolution: int
@@ -102,14 +109,14 @@ class BakedInstantNGP(FieldModel):
     def __call__(self, x: Array, d: Array) -> FieldOutput:
         r = self.resolution
         p = self.pack
+        f = self.density_dim
         if p not in (1, 2, 4, 8):
             raise ValueError(f"pack must be 1, 2, 4, or 8 (got {p})")
-        w = p * self.density_dim
-        s = physical_rows_per_row(w)
+        s = physical_rows_per_row(f)
         nrows = -(-(r**3) // s)
         grid = self.param(
             "grid",
-            lambda key: jnp.zeros((nrows, s * w), jnp.bfloat16),
+            lambda key: jnp.zeros((nrows, p * s * f), jnp.bfloat16),
         )
         bbox_min = jnp.asarray(self.bbox_min, dtype=jnp.float32)
         bbox_max = jnp.asarray(self.bbox_max, dtype=jnp.float32)
@@ -125,18 +132,24 @@ class BakedInstantNGP(FieldModel):
         cz = rows[..., 2].astype(jnp.int32)
         idx = cx + r * (cy + r * cz)
         if s > 1:
-            # One 128-wide gather per row group, then an exact mask-sum
-            # select of the logical sub-row (adding 0.0 never changes a
-            # float, so this is bit-identical to gathering [..., w]).
-            feats = jnp.take(grid, idx // s, axis=0)  # [..., 8/p, s*w]
-            feats = feats.reshape(*feats.shape[:-1], s, w).astype(jnp.float32)
+            # One gather per row group, then an exact mask-sum select of
+            # the logical sub-row within each 128-lane segment (adding
+            # 0.0 never changes a float, so this is bit-identical to
+            # gathering [..., p*f] directly).
+            feats = jnp.take(grid, idx // s, axis=0)  # [..., 8/p, p*s*f]
+            feats = feats.reshape(*feats.shape[:-1], p, s, f).astype(
+                jnp.float32
+            )
             onehot = (idx % s)[..., None] == jnp.arange(s, dtype=jnp.int32)
             feats = jnp.sum(
-                jnp.where(onehot[..., None], feats, 0.0), axis=-2
-            )  # [..., 8/p, w]
+                jnp.where(onehot[..., None, :, None], feats, 0.0), axis=-2
+            )  # [..., 8/p, p, f]
         else:
             feats = jnp.take(grid, idx, axis=0).astype(jnp.float32)
-        feats = feats.reshape(*feats.shape[:-2], 8, self.density_dim)
+        # [..., 8/p, p, f] (or [..., 8/p, p*f] when s == 1) -> [..., 8, f]:
+        # segment order matches corner-bit order, so this is the standard
+        # corner axis.
+        feats = feats.reshape(*idx.shape[:-1], 8, f)
         out = jnp.sum(weights[..., None] * feats, axis=-2)  # [..., F]
 
         density = jnp.exp(out[..., 0:1])
@@ -177,23 +190,73 @@ def to_physical(grid: Array, width: int) -> Array:
     return grid.reshape(nrows, s * width)
 
 
-def pack_baked_grid(grid: Array, resolution: int, pack: int) -> Array:
-    """Duplicate-pack corner features for :class:`BakedInstantNGP`.
+def _segments_from_physical(phys: Array, resolution: int, pack: int) -> Array:
+    """Segmented packed table from the PHYSICAL pack-1 table, using only
+    128-lane-aligned row shifts — no wide logical tensor ever exists.
 
-    Row ``(x, y, z)`` of the result holds the features of the ``pack``
-    corners ``(x + dx, y + dy, z + dz)`` for the low ``log2(pack)``
-    offset bits in corner-bit order (x=bit2, y=bit1, z=bit0), +1 shifts
-    clamped at the boundary (those rows are never gathered as bases:
-    the interpolation floors to ``resolution - 2``).
-
-    :param grid: ``[resolution^3, F]`` unpacked table (x fastest).
-    :return: ``[resolution^3, pack * F]``.
+    ``phys`` is ``[r^3 / S, 128]`` (S consecutive x-fastest logical rows
+    per physical row).  A corner +1 shift along z (logical +r^2) or y
+    (logical +r, per z-plane) is a whole-physical-row shift because S
+    divides r; the x shift (+1) moves features one ``F``-lane sub-row
+    with a carry from the next physical row.  Boundary rows clamp to
+    themselves exactly like the logical per-axis clamp (the tail rows of
+    a flat z shift ARE the cz = r-1 plane, etc.).  Requires
+    ``resolution % S == 0``.
     """
+    r = resolution
+    n, lanes = phys.shape
+    assert lanes == 128
+    s = (r**3) // n
+    assert r % s == 0 and n == r**3 // s
+
+    def shz(a):
+        k = (r * r) // s
+        return jnp.concatenate([a[k:], a[-k:]], axis=0)
+
+    def shy(a):
+        x = a.reshape(r, n // r, 128)
+        k = r // s
+        x = jnp.concatenate([x[:, k:], x[:, -k:]], axis=1)
+        return x.reshape(n, 128)
+
+    def shx(a):
+        f = 128 // s
+        x = a.reshape(r * r, r // s, 128)
+        main = x[..., f:]
+        carry = jnp.concatenate([x[:, 1:, :f], x[:, -1:, 128 - f:]], axis=1)
+        return jnp.concatenate([main, carry], axis=-1).reshape(n, 128)
+
+    segs = [phys, shz(phys)]
+    if pack >= 4:
+        py = shy(phys)
+        segs += [py, shz(py)]
+    if pack == 8:
+        px = shx(phys)
+        pxy = shy(px)
+        segs += [px, shz(px), pxy, shz(pxy)]
+    return jnp.concatenate(segs, axis=1)
+
+
+def pack_baked_grid(grid: Array, resolution: int, pack: int) -> Array:
+    """Segmented packed table from the LOGICAL ``[r^3, F]`` table
+    (general fallback for resolutions the aligned shift path cannot
+    serve; materializes wide logical intermediates, so production-scale
+    grids go through :func:`_segments_from_physical` instead).
+
+    Segment ``c`` holds the corner-shift-``c`` features for the low
+    ``log2(pack)`` offset bits in corner-bit order (x=bit2, y=bit1,
+    z=bit0), +1 shifts clamped at the boundary (those rows are never
+    gathered as bases: the interpolation floors to ``resolution - 2``).
+    Output format matches :class:`BakedInstantNGP`:
+    ``[ceil(r^3 / S), pack * S * F]`` with each 128-lane (or F-lane when
+    ``S == 1``) segment block tile-aligned via :func:`to_physical`.
+    """
+    r = resolution
+    feat = int(grid.shape[-1])
     if pack == 1:
-        return grid
+        return to_physical(grid, feat)
     if pack not in (2, 4, 8):
         raise ValueError(f"pack must be 1, 2, 4, or 8 (got {pack})")
-    r = resolution
     g = grid.reshape(r, r, r, -1)  # [z, y, x, F]
 
     def sh(a, axis):  # clamped +1 shift along a lattice axis
@@ -213,7 +276,9 @@ def pack_baked_grid(grid: Array, resolution: int, pack: int) -> Array:
         gx = sh(g, 2)
         gxy = sh(gx, 1)
         parts += [gx, sh(gx, 0), gxy, sh(gxy, 0)]
-    return jnp.concatenate(parts, axis=-1).reshape(r**3, -1)
+    return jnp.concatenate(
+        [to_physical(p.reshape(r**3, feat), feat) for p in parts], axis=1
+    )
 
 
 def _make_sweep(model: InstantNGPModel, r: int, dtype):
@@ -296,23 +361,28 @@ def bake_instant_ngp(
         )
     r = resolution
     feat_dim = int(model.density_dim)
+    s1 = physical_rows_per_row(feat_dim)
     sweep, sweep_physical = _make_sweep(model, r, dtype)
 
     t0 = time.time()
     grid = sweep(params).reshape(
         -1, 128 if sweep_physical else feat_dim
     )
-    # Pack + tile-align in ONE donated program so no [rows, sub-128]
-    # table is ever a program output (outputs materialize in padded
-    # tiled layouts on TPU — see BakedInstantNGP's layout note) and the
-    # pack-1 input buffer is released into the repack.
+    # Pack + tile-align in ONE donated program so no sub-128-lane table
+    # is ever a program output (outputs materialize in padded tiled
+    # layouts on TPU — see BakedInstantNGP's layout note) and the pack-1
+    # buffer is released into the repack.
     if pack != 1:
-
-        def _repack(g):
-            logical = g.reshape(r**3, feat_dim)
-            return to_physical(pack_baked_grid(logical, r, pack), pack * feat_dim)
-
-        grid = jax.jit(_repack, donate_argnums=0)(grid)
+        if sweep_physical and r % s1 == 0:
+            grid = jax.jit(
+                lambda g: _segments_from_physical(g, r, pack),
+                donate_argnums=0,
+            )(grid)
+        else:
+            grid = jax.jit(
+                lambda g: pack_baked_grid(g.reshape(r**3, feat_dim), r, pack),
+                donate_argnums=0,
+            )(grid)
     elif not sweep_physical:
         grid = jax.jit(
             lambda g: to_physical(g, feat_dim), donate_argnums=0

@@ -290,12 +290,13 @@ def apply_baking(args, fine, params):
         bbox_tag = hashlib.md5(
             repr((tuple(fine.bbox_min), tuple(fine.bbox_max))).encode()
         ).hexdigest()[:8]
-        # ".r128" versions the on-disk layout (tile-aligned 128-lane
-        # physical rows, round 5): an old logical-layout cache has valid
-        # row indices for the new addressing and would misread SILENTLY.
+        # ".seg128" versions the on-disk layout (tile-aligned segmented
+        # 128-lane physical rows, round 5): an old-layout cache has
+        # valid row indices for the new addressing and would misread
+        # SILENTLY.
         cache_path = (
             f"{args.model_path}.baked{args.baked}.{args.baked_dtype}"
-            f"{pack_tag}.{bbox_tag}.r128.npz"
+            f"{pack_tag}.{bbox_tag}.seg128.npz"
         )
         ckpt_mtime = os.path.getmtime(args.model_path)
         if (

@@ -95,8 +95,10 @@ def test_packed_grid_bitwise_identical(pack):
     )
     from learn_nerf_tpu.baked import physical_rows_per_row
 
-    s = physical_rows_per_row(pack * 4)
-    assert packed_params["grid"].shape == (-(-(r**3) // s), s * pack * 4)
+    # Segmented format: S from density_dim alone; each of the pack
+    # corner-shift segments is its own tile-aligned lane block.
+    s = physical_rows_per_row(4)
+    assert packed_params["grid"].shape == (-(-(r**3) // s), pack * s * 4)
 
     rng = np.random.RandomState(7)
     pts = (rng.rand(257, 3).astype(np.float32) * 2.0 - 1.0) * 0.999
@@ -372,10 +374,29 @@ def test_bake_in_sweep_physical_path():
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c), np.asarray(ref_c), rtol=1e-4, atol=1e-5)
 
-    # Packed bake from the physical sweep: still bit-identical to pack 1.
-    packed, pp = bake_instant_ngp(
-        model, params, r, dtype=jnp.float32, pack=4, verbose=False
-    )
-    d4, c4, _ = packed.apply(dict(params=pp), jnp.asarray(pts), jnp.asarray(dirs))
-    np.testing.assert_array_equal(np.asarray(d), np.asarray(d4))
-    np.testing.assert_array_equal(np.asarray(c), np.asarray(c4))
+    # Packed bakes from the physical sweep use the aligned segment-shift
+    # builder (_segments_from_physical): still bit-identical to pack 1.
+    # pack 8 covers the x-shift's lane-carry path; r == S makes each
+    # x-line a single physical row (the carry's clamp-only edge), so
+    # also exercise a larger r where the carry crosses physical rows.
+    rng = np.random.RandomState(13)
+    for rr in (r, 16):
+        # OFF-lattice points: every trilinear corner (hence every packed
+        # segment) carries nonzero weight, unlike lattice vertices.
+        ptsr = (rng.rand(311, 3).astype(np.float32) * 2.0 - 1.0) * 0.999
+        dirsr = _random_dirs(ptsr.shape[0], seed=6)
+        b1, p1 = bake_instant_ngp(
+            model, params, rr, dtype=jnp.float32, verbose=False
+        )
+        d1, c1, _ = b1.apply(
+            dict(params=p1), jnp.asarray(ptsr), jnp.asarray(dirsr)
+        )
+        for pk in (2, 4, 8):
+            bp_, pp_ = bake_instant_ngp(
+                model, params, rr, dtype=jnp.float32, pack=pk, verbose=False
+            )
+            dk, ck, _ = bp_.apply(
+                dict(params=pp_), jnp.asarray(ptsr), jnp.asarray(dirsr)
+            )
+            np.testing.assert_array_equal(np.asarray(d1), np.asarray(dk))
+            np.testing.assert_array_equal(np.asarray(c1), np.asarray(ck))
