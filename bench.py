@@ -93,15 +93,23 @@ def step_roofline(loop, batch, step_seconds, extra_args=()):
 
     from learn_nerf_tpu.utils.flops import lowered_cost, roofline
 
+    from learn_nerf_tpu.utils.flops import traced_flops
+
     batch = loop.shard_batch(batch)
     key = jax.random.PRNGKey(1)
     try:
         lowered = loop._auto_step_fn.lower(loop.state, key, batch, *extra_args)
+        cost = lowered_cost(lowered)
     except Exception:
-        return {}
-    cost = lowered_cost(lowered)
+        cost = None
     if cost is None:
-        return {}
+        # The axon remote-compile backend exposes no cost analysis;
+        # count matmul FLOPs analytically from the traced jaxpr instead
+        # (host-only, seconds) so the MFU figure still lands on TPU runs
+        # (VERDICT r2/r4: the vanilla-roofline question).
+        cost = traced_flops(
+            loop._auto_step_fn, loop.state, key, batch, *extra_args
+        )
     return roofline(cost, step_seconds)
 
 

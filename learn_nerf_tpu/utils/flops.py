@@ -23,6 +23,78 @@ V5E_PEAK_FLOPS = 1.97e14
 V5E_PEAK_BYTES_PER_SEC = 8.19e11
 
 
+def _prod(xs):
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+def _dot_general_flops(eqn) -> float:
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    lhs = eqn.invars[0].aval.shape
+    rhs = eqn.invars[1].aval.shape
+    batch = _prod(lhs[i] for i in lb)
+    k = _prod(lhs[i] for i in lc)
+    m = _prod(lhs[i] for i in range(len(lhs)) if i not in set(lc) | set(lb))
+    n = _prod(rhs[i] for i in range(len(rhs)) if i not in set(rc) | set(rb))
+    return 2.0 * batch * m * n * k
+
+
+def jaxpr_matmul_flops(jaxpr) -> float:
+    """Analytic matmul FLOPs of a (Closed)Jaxpr — MFU's conventional
+    numerator, counted without any backend at all.
+
+    The axon remote-compile backend exposes no XLA cost analysis
+    (``lowered_cost`` returns None there, and forcing ``.compile()``
+    would re-do a multi-minute relay compile), so the bench falls back
+    to walking the traced jaxpr: 2*M*N*K per ``dot_general`` (batch dims
+    multiplied in), recursing into every sub-jaxpr. ``scan`` bodies are
+    multiplied by their trip count; ``while`` bodies are counted ONCE
+    (trip count is data-dependent — none of our hot steps use one);
+    ``cond`` takes the most expensive branch. Elementwise/gather work is
+    deliberately excluded: MFU is defined on matrix-unit FLOPs.
+    """
+    jaxpr = getattr(jaxpr, "jaxpr", jaxpr)  # accept ClosedJaxpr
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            total += _dot_general_flops(eqn)
+            continue
+        subs = []
+        for val in eqn.params.values():
+            if hasattr(val, "eqns") or hasattr(val, "jaxpr"):
+                subs.append(val)
+            elif isinstance(val, (tuple, list)):
+                subs.extend(v for v in val
+                            if hasattr(v, "eqns") or hasattr(v, "jaxpr"))
+        if not subs:
+            continue
+        if prim == "cond":
+            total += max(jaxpr_matmul_flops(s) for s in subs)
+        else:
+            mult = eqn.params.get("length", 1) if prim == "scan" else 1
+            total += mult * sum(jaxpr_matmul_flops(s) for s in subs)
+    return total
+
+
+def traced_flops(fn, *args, **kwargs) -> Optional[Dict[str, float]]:
+    """Trace ``fn`` (host-only, seconds) and return analytic matmul FLOPs
+    as a ``lowered_cost``-shaped dict with no byte count (``bytes`` is a
+    layout/fusion property only the compiler knows)."""
+    import jax
+
+    try:
+        closed = jax.make_jaxpr(fn, **kwargs)(*args)
+    except Exception:
+        return None
+    flops = jaxpr_matmul_flops(closed)
+    if flops <= 0.0:
+        return None
+    return dict(flops=flops, bytes=None, source="jaxpr-matmul")
+
+
 def lowered_cost(lowered) -> Optional[Dict[str, float]]:
     """FLOPs / bytes-accessed of an already-``lower()``-ed jit program per
     XLA cost analysis (``None`` when the backend exposes no cost model —
@@ -56,6 +128,14 @@ def roofline(cost: Optional[Dict[str, float]], seconds: float) -> Dict[str, floa
     peak_flops = float(os.environ.get("NERF_TPU_PEAK_FLOPS", V5E_PEAK_FLOPS))
     peak_bytes = float(os.environ.get("NERF_TPU_PEAK_BYTES", V5E_PEAK_BYTES_PER_SEC))
     achieved_flops = cost["flops"] / seconds
+    if cost.get("bytes") is None:
+        # Analytic (jaxpr-walk) source: matmul FLOPs are exact but bytes
+        # are a compiler/layout property — report the MXU side only.
+        return dict(
+            tflops=round(achieved_flops / 1e12, 2),
+            mfu=round(achieved_flops / peak_flops, 4),
+            flops_source=cost.get("source", "jaxpr-matmul"),
+        )
     achieved_bytes = cost["bytes"] / seconds
     compute_time = cost["flops"] / peak_flops
     memory_time = cost["bytes"] / peak_bytes

@@ -260,3 +260,79 @@ def test_emit_incremental_and_error_tolerant(capsys):
         rays_per_sec=500000.0, vs_reference_dense_eval=131.0)})
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["metric"] == "frame_seconds_800px_baked"
+
+
+def test_jaxpr_matmul_flops_exact():
+    """The analytic fallback counts 2*M*N*K per dot_general exactly —
+    value step, grad step (3 matmuls per layer), and scan bodies
+    multiplied by trip count."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.utils.flops import jaxpr_matmul_flops
+
+    B, K, N = 32, 16, 8
+    x = jnp.ones((B, K))
+    w = jnp.ones((K, N))
+
+    fwd = jax.make_jaxpr(lambda x, w: x @ w)(x, w)
+    assert jaxpr_matmul_flops(fwd) == 2.0 * B * K * N
+
+    # grad wrt w: forward (2BKN) + dx = g @ w.T (2BKN) + dw = x.T @ g
+    # (2BKN) when grad wrt both args.
+    g = jax.make_jaxpr(
+        jax.grad(lambda x, w: (x @ w).sum(), argnums=(0, 1))
+    )(x, w)
+    assert jaxpr_matmul_flops(g) == 3 * 2.0 * B * K * N
+
+    # scan multiplies the body by its length.
+    L = 7
+
+    def scanned(x, w):
+        def body(c, _):
+            return c @ w, ()
+
+        out, _ = jax.lax.scan(body, x, None, length=L)
+        return out
+
+    s = jax.make_jaxpr(scanned)(x, jnp.ones((K, K)))
+    assert jaxpr_matmul_flops(s) == L * 2.0 * B * K * K
+
+
+def test_traced_flops_matches_xla_for_mlp():
+    """On the CPU backend (cost analysis available) the analytic matmul
+    count must agree with XLA's dot flops: analytic <= XLA total, and
+    the MLP is matmul-dominated so not by much."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_nerf_tpu.utils.flops import lowered_cost, traced_flops
+
+    def mlp(x, w1, w2):
+        h = jnp.maximum(x @ w1, 0.0)
+        return (h @ w2).sum()
+
+    args = (jnp.ones((64, 32)), jnp.ones((32, 32)), jnp.ones((32, 4)))
+    step = jax.jit(jax.grad(mlp, argnums=(1, 2)))
+    analytic = traced_flops(step, *args)
+    assert analytic is not None and analytic["bytes"] is None
+    xla = lowered_cost(step.lower(*args))
+    if xla is not None:  # cost analysis present on this backend
+        # XLA's count is post-optimization (it may simplify a small dot
+        # away); the pre-optimization analytic count can sit a hair
+        # above it, never far below.
+        assert analytic["flops"] <= xla["flops"] * 1.05
+        assert analytic["flops"] >= 0.5 * xla["flops"]
+
+
+def test_roofline_flops_only_cost():
+    """A byte-less (analytic) cost yields the MXU-side roofline keys and
+    no bandwidth claims."""
+    from learn_nerf_tpu.utils.flops import roofline
+
+    out = roofline(dict(flops=1.97e12, bytes=None, source="jaxpr-matmul"),
+                   seconds=0.1)
+    assert out["tflops"] == 19.7
+    assert out["mfu"] == 0.1
+    assert out["flops_source"] == "jaxpr-matmul"
+    assert "bound" not in out and "gbps" not in out

@@ -160,18 +160,20 @@ QUEUE_R5 = [
          timeout=1800, log="runs/measure_baked.log"),
     # Full round-4 lever stack (the projected ~1 s headline point), then
     # the single-lever decomposition rows.
+    # The per-lever frame matrix in one process (shared bake cache): the
+    # decomposition table VERDICT r4 #5 requires before --occ_block_gather
+    # may stay default-recommended.  Runs before the single-config combo:
+    # one matrix process yields every lever row, the combo only re-checks
+    # the full stack on the TRAINED checkpoint.
+    dict(name="frame_matrix", retries=1,
+         cmd=("python tools/frame_matrix.py --size 800 --reps 3 "
+              "> runs/frame_matrix_r5.log 2>&1"),
+         timeout=3600, log="runs/frame_matrix_r5.log"),
     dict(name="baked_combo_bg4_span_bg4", requires=BAKED_REQ, retries=1,
          cmd=(f"{MB} --resolutions 384 --span_candidates 96 --candidates 96 "
               f"--pack 4 --block_gather 4 --span_block_gather 4 "
               f"> runs/measure_baked_bg4sb4.log 2>&1"),
          timeout=1200, log="runs/measure_baked_bg4sb4.log"),
-    # The per-lever frame matrix in one process (shared bake cache): the
-    # decomposition table VERDICT r4 #5 requires before --occ_block_gather
-    # may stay default-recommended.
-    dict(name="frame_matrix", retries=1,
-         cmd=("python tools/frame_matrix.py --size 800 --reps 3 "
-              "> runs/frame_matrix_r5.log 2>&1"),
-         timeout=3600, log="runs/frame_matrix_r5.log"),
     # Roofline/MFU for the train submetrics that are not yet banked
     # (occupancy already landed in tier 0).  bench.py now RE-EMITS its
     # headline JSON after every submetric, so even a timeout keeps every
@@ -190,7 +192,12 @@ QUEUE_R5 = [
     dict(name="ref_shuffle_prewarm", tpu=False,
          requires=["runs/scene_shiny_train/metadata.json"],
          produces=["runs/scene_shiny_train/shuffled_ref/done"],
-         cmd=(f"{CPUPFX} python -c \""
+         # The reference package is not importable from the repo root —
+         # the runner's PYTHONPATH covers /root/repo only (first r5
+         # attempt died on ModuleNotFoundError in 2 s).
+         cmd=(f"{CPUPFX} "
+              "PYTHONPATH=/root/repo:/root/reference:/root/.axon_site "
+              "python -c \""
               "import jax\n"
               "from learn_nerf.dataset import load_dataset\n"
               "ds = load_dataset('runs/scene_shiny_train')\n"
@@ -199,44 +206,13 @@ QUEUE_R5 = [
               "print('prewarmed shuffled_ref')\""
               " > runs/ref_shuffle_prewarm.log 2>&1"),
          timeout=1800),
-    dict(name="ref_refnerf_rate",
-         cmd=("python tools/measure_reference.py --ref_nerf --steps 20 "
-              "> runs/measure_ref_refnerf.log 2>&1"),
-         timeout=2400, log="runs/measure_ref_refnerf.log"),
-    dict(name="ref_ngpref_rate",
-         cmd=("python tools/measure_reference.py --instant_ngp --ref_nerf "
-              "--steps 10 > runs/measure_ref_ngpref.log 2>&1"),
-         timeout=3600, log="runs/measure_ref_ngpref.log"),
-    # ONE bounded attempt (retries=0): train_reference.py saves every 500
-    # steps, so even a timeout leaves a checkpoint the eval can score (the
-    # log records the step count); a second 2 h attempt would restart from
-    # scratch (the reference loop has no optimizer-state resume) and burn
-    # the rest of the window for no added information.
-    dict(name="ref_refnerf_train", retries=0,
-         requires=["runs/scene_shiny_train/metadata.json",
-                   "runs/scene_shiny_train/shuffled_ref/done"],
-         cmd=("python tools/train_reference.py --ref_nerf --batch_size 4096 "
-              "--steps 1500 --lr 1e-4 --save_path runs/ref_refnerf.pkl "
-              "runs/scene_shiny_train > runs/ref_refnerf.log 2>&1"),
-         timeout=7200, log="runs/ref_refnerf.log", stall_secs=2400),
-    dict(name="ref_refnerf_eval",
-         requires=["runs/ref_refnerf.pkl",
-                   "runs/scene_shiny_test/metadata.json"],
-         cmd=(f"{EVAL} --batch_size 4096 --ref_nerf "
-              "--model_path runs/ref_refnerf.pkl runs/scene_shiny_test "
-              "> runs/eval_ref_refnerf.log 2>&1"),
-         timeout=3600, log="runs/eval_ref_refnerf.log"),
-
     # ---- tier 3: flagship quality / enhancement rows ------------------------
-    dict(name="ngp_scan8_throughput",
-         requires=["runs/scene_train/metadata.json",
-                   "runs/scene_train/shuffled/done"],
-         cmd=(f"rm -f runs/ours_ngp_scan8.pkl && {TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
-              "--occupancy --occ_train_budget 12 --occ_train_budget_start 400 "
-              "--steps_per_dispatch 8 --steps 1600 "
-              "--save_path runs/ours_ngp_scan8.pkl runs/scene_train "
-              "> runs/ours_ngp_scan8.log 2>&1"),
-         timeout=1800, stall_secs=1500, log="runs/ours_ngp_scan8.log"),
+    # (The reference Ref-NeRF rate/train items moved BELOW these on
+    # 2026-08-19 17:42 evidence: the reference's Ref-NeRF train step
+    # crashes the TPU toolchain's AOT compiler itself — SIGILL inside
+    # xla::jellyfish TpuPriorityFusionQueue::NormalizedComputationCost,
+    # runs/measure_ref_refnerf.log — after ~20 min of relay compiles.
+    # Our own Ref-NeRF rows below are a different program and compile.)
     dict(name="ngp_cosine_train",
          requires=["runs/scene_train/metadata.json",
                    "runs/scene_train/shuffled/done"],
@@ -262,14 +238,6 @@ QUEUE_R5 = [
               "--occupancy --steps 1500 --save_path runs/ours_refnerf_1500.pkl "
               "runs/scene_shiny_train > runs/ours_refnerf_1500.log 2>&1"),
          timeout=3600, stall_secs=1800, log="runs/ours_refnerf_1500.log"),
-    dict(name="ours_ngpref_train",
-         requires=["runs/scene_shiny_train/metadata.json",
-                   "runs/scene_shiny_train/shuffled/done"],
-         cmd=(f"rm -f runs/ours_ngpref.pkl && {TRAIN} --instant_ngp --ref_nerf --batch_size 4096 --lr 1e-2 "
-              "--seed 0 --occupancy --steps 1500 "
-              "--save_path runs/ours_ngpref.pkl runs/scene_shiny_train "
-              "> runs/ours_ngpref.log 2>&1"),
-         timeout=5400, stall_secs=1800, log="runs/ours_ngpref.log"),
     dict(name="ours_refnerf_eval",
          requires=["runs/ours_refnerf_1500.pkl",
                    "runs/scene_shiny_test/metadata.json"],
@@ -277,13 +245,6 @@ QUEUE_R5 = [
               "--model_path runs/ours_refnerf_1500.pkl runs/scene_shiny_test "
               "> runs/eval_ours_refnerf_1500.log 2>&1"),
          timeout=2400, log="runs/eval_ours_refnerf_1500.log"),
-    dict(name="ours_ngpref_eval",
-         requires=["runs/ours_ngpref.pkl",
-                   "runs/scene_shiny_test/metadata.json"],
-         cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --ref_nerf --occupancy "
-              "--model_path runs/ours_ngpref.pkl runs/scene_shiny_test "
-              "> runs/eval_ours_ngpref.log 2>&1"),
-         timeout=2400, log="runs/eval_ours_ngpref.log"),
     # ---- tier 4: blender-protocol converted-scene e2e on chip --------------
     dict(name="blender_standin_make", tpu=False,
          produces=["runs/scene_blender_train/metadata.json",
@@ -312,6 +273,30 @@ QUEUE_R5 = [
               ">> runs/blender_e2e.log 2>&1"),
          timeout=1200, log="runs/blender_e2e.log"),
 
+    dict(name="ngp_scan8_throughput",
+         requires=["runs/scene_train/metadata.json",
+                   "runs/scene_train/shuffled/done"],
+         cmd=(f"rm -f runs/ours_ngp_scan8.pkl && {TRAIN} --instant_ngp --batch_size 4096 --lr 1e-2 --seed 0 "
+              "--occupancy --occ_train_budget 12 --occ_train_budget_start 400 "
+              "--steps_per_dispatch 8 --steps 1600 "
+              "--save_path runs/ours_ngp_scan8.pkl runs/scene_train "
+              "> runs/ours_ngp_scan8.log 2>&1"),
+         timeout=1800, stall_secs=1500, log="runs/ours_ngp_scan8.log"),
+    dict(name="ours_ngpref_train",
+         requires=["runs/scene_shiny_train/metadata.json",
+                   "runs/scene_shiny_train/shuffled/done"],
+         cmd=(f"rm -f runs/ours_ngpref.pkl && {TRAIN} --instant_ngp --ref_nerf --batch_size 4096 --lr 1e-2 "
+              "--seed 0 --occupancy --steps 1500 "
+              "--save_path runs/ours_ngpref.pkl runs/scene_shiny_train "
+              "> runs/ours_ngpref.log 2>&1"),
+         timeout=5400, stall_secs=1800, log="runs/ours_ngpref.log"),
+    dict(name="ours_ngpref_eval",
+         requires=["runs/ours_ngpref.pkl",
+                   "runs/scene_shiny_test/metadata.json"],
+         cmd=(f"{EVAL} --batch_size 4096 --instant_ngp --ref_nerf --occupancy "
+              "--model_path runs/ours_ngpref.pkl runs/scene_shiny_test "
+              "> runs/eval_ours_ngpref.log 2>&1"),
+         timeout=2400, log="runs/eval_ours_ngpref.log"),
     # ---- tier 5: secondary baked variants ----------------------------------
     # Single-lever decomposition rows on the TRAINED checkpoint: demoted
     # from tier 1 (frame_matrix already times every lever in one process;
