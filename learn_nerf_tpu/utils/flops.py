@@ -107,6 +107,13 @@ def lowered_cost(lowered) -> Optional[Dict[str, float]]:
             # bench run).
             analysis = lowered.cost_analysis()
         except Exception:
+            import jax
+
+            if jax.default_backend() == "axon":
+                # Remote-compile relay: a re-compile costs minutes and
+                # its cost analysis comes back empty anyway — let the
+                # caller fall through to the analytic jaxpr counter.
+                return None
             analysis = lowered.compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):  # some backends wrap per-device
             analysis = analysis[0]
