@@ -645,8 +645,8 @@ def _emit(sub):
         vs = headline["vs_reference_vanilla"]
     elif ok("frame_800_baked"):  # frame-only run (BENCH_MODE=frame)
         headline = sub["frame_800_baked"]
-        metric = "frame_seconds_800px_baked"
-        unit = "s/frame (800x800, baked NGP field, one chip)"
+        metric = "frame_rays_per_sec_800px_baked"
+        unit = "rays/sec (800x800 frame, baked NGP field, one chip)"
         # Baseline: the reference's chunked host-loop render path measured
         # at dense-eval rate (BASELINE.md) — higher is better for rays/s.
         vs = headline["vs_reference_dense_eval"]
