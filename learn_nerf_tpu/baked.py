@@ -322,7 +322,12 @@ def _make_sweep(model: InstantNGPModel, r: int, dtype):
                 feats = feats.reshape(r * r // s, s * feats.shape[-1])
             return feats
 
-        return jax.lax.map(chunk, jnp.arange(r, dtype=jnp.int32))
+        out = jax.lax.map(chunk, jnp.arange(r, dtype=jnp.int32))
+        # Collapse the chunk axis INSIDE the program: leading-dim merges
+        # of a row-major [r, rows/chunk, lanes] stack are layout-free
+        # here, while a separate host-dispatched reshape program pays a
+        # whole-table copy (4.3 GB at 512^3) in its own HBM budget.
+        return out.reshape(-1, out.shape[-1])
 
     return sweep, physical
 
@@ -365,9 +370,7 @@ def bake_instant_ngp(
     sweep, sweep_physical = _make_sweep(model, r, dtype)
 
     t0 = time.time()
-    grid = sweep(params).reshape(
-        -1, 128 if sweep_physical else feat_dim
-    )
+    grid = sweep(params)
     # Pack + tile-align in ONE donated program so no sub-128-lane table
     # is ever a program output (outputs materialize in padded tiled
     # layouts on TPU — see BakedInstantNGP's layout note) and the pack-1

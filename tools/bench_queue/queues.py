@@ -28,7 +28,10 @@ first):
      1500-step train gets ONE bounded attempt (periodic saves keep a
      timeout from wasting the window), and the runner's deadline
      reservation defers it automatically if tier 1 runs long.
-  5. Enhancement rows, blender e2e, demoted secondary baked variants.
+  5. Flagship-recipe + blender-protocol e2e rows and the bounded 512^3
+     crash probe (explicit VERDICT r4 #7/#3 items) before the
+     upgrade-only ours-side Ref-NeRF rows; demoted secondary baked
+     variants last.
 """
 
 MB = ("python tools/measure_baked.py runs/ours_ngp_long.pkl "
@@ -230,22 +233,9 @@ QUEUE_R5 = [
               "> runs/eval_ours_ngp_cosine.log 2>&1"),
          timeout=2400, log="runs/eval_ours_ngp_cosine.log"),
 
-    # ---- tier 3b: ours-side Ref-NeRF / NGPxRef on-chip rows -----------------
-    dict(name="ours_refnerf_train",
-         requires=["runs/scene_shiny_train/metadata.json",
-                   "runs/scene_shiny_train/shuffled/done"],
-         cmd=(f"rm -f runs/ours_refnerf_1500.pkl && {TRAIN} --ref_nerf --batch_size 4096 --lr 1e-4 --seed 0 "
-              "--occupancy --steps 1500 --save_path runs/ours_refnerf_1500.pkl "
-              "runs/scene_shiny_train > runs/ours_refnerf_1500.log 2>&1"),
-         timeout=3600, stall_secs=1800, log="runs/ours_refnerf_1500.log"),
-    dict(name="ours_refnerf_eval",
-         requires=["runs/ours_refnerf_1500.pkl",
-                   "runs/scene_shiny_test/metadata.json"],
-         cmd=(f"{EVAL} --batch_size 4096 --ref_nerf --occupancy "
-              "--model_path runs/ours_refnerf_1500.pkl runs/scene_shiny_test "
-              "> runs/eval_ours_refnerf_1500.log 2>&1"),
-         timeout=2400, log="runs/eval_ours_refnerf_1500.log"),
-    # ---- tier 4: blender-protocol converted-scene e2e on chip --------------
+    # ---- tier 3a: blender-protocol e2e + the 512 probe (explicit VERDICT
+    # r4 #7 / #3 items — outrank the upgrade-only ours-side Ref-NeRF rows
+    # below, which already have CPU-backend numbers in BASELINE.md) ----------
     dict(name="blender_standin_make", tpu=False,
          produces=["runs/scene_blender_train/metadata.json",
                    "runs/scene_blender_test/metadata.json"],
@@ -272,7 +262,38 @@ QUEUE_R5 = [
               "--model_path runs/blender_e2e.pkl runs/scene_blender_test "
               ">> runs/blender_e2e.log 2>&1"),
          timeout=1200, log="runs/blender_e2e.log"),
+    # The 512^3 bake killed the TPU worker twice (kernel fault,
+    # runs/measure_baked.log 18:34/18:53): its sweep output is EXACTLY
+    # 2^31 bf16 elements.  One bounded, NO-retry probe (a worker crash
+    # wedges the chip ~12 min; two strikes of that is never worth it)
+    # isolates buffer-allocation vs reshape vs sweep and drops a pass
+    # marker that gates the real 512 measurement below.
+    dict(name="probe_512", requires=BAKED_REQ, retries=0,
+         cmd=("rm -f runs/probe_512_pass && "
+              "python tools/probe_512.py runs/ours_ngp_long.pkl "
+              "runs/scene_train/metadata.json > runs/probe_512.log 2>&1 "
+              "&& touch runs/probe_512_pass"),
+         timeout=900, log="runs/probe_512.log"),
+    dict(name="baked_512_retry", retries=0,
+         requires=BAKED_REQ + ["runs/probe_512_pass"],
+         cmd=f"{MB} --resolutions 512 > runs/measure_baked_512.log 2>&1",
+         timeout=1500, log="runs/measure_baked_512.log"),
 
+    # ---- tier 3b: ours-side Ref-NeRF / NGPxRef on-chip rows -----------------
+    dict(name="ours_refnerf_train",
+         requires=["runs/scene_shiny_train/metadata.json",
+                   "runs/scene_shiny_train/shuffled/done"],
+         cmd=(f"rm -f runs/ours_refnerf_1500.pkl && {TRAIN} --ref_nerf --batch_size 4096 --lr 1e-4 --seed 0 "
+              "--occupancy --steps 1500 --save_path runs/ours_refnerf_1500.pkl "
+              "runs/scene_shiny_train > runs/ours_refnerf_1500.log 2>&1"),
+         timeout=3600, stall_secs=1800, log="runs/ours_refnerf_1500.log"),
+    dict(name="ours_refnerf_eval",
+         requires=["runs/ours_refnerf_1500.pkl",
+                   "runs/scene_shiny_test/metadata.json"],
+         cmd=(f"{EVAL} --batch_size 4096 --ref_nerf --occupancy "
+              "--model_path runs/ours_refnerf_1500.pkl runs/scene_shiny_test "
+              "> runs/eval_ours_refnerf_1500.log 2>&1"),
+         timeout=2400, log="runs/eval_ours_refnerf_1500.log"),
     dict(name="ngp_scan8_throughput",
          requires=["runs/scene_train/metadata.json",
                    "runs/scene_train/shuffled/done"],
@@ -325,12 +346,16 @@ QUEUE_R5 = [
               "--model_path runs/ours_ngp_long.pkl runs/scene_test "
               "> runs/eval_block_gather4.log 2>&1"),
          timeout=1200, log="runs/eval_block_gather4.log"),
-    dict(name="baked_span_512", requires=BAKED_REQ, retries=1,
+    # 512-grid rows run ONLY behind the probe_512 pass marker (its bake
+    # kernel-faulted the worker twice on 2026-08-19; see probe_512 above)
+    # and never retry — a worker crash wedges the chip ~12 min.
+    dict(name="baked_span_512", retries=0,
+         requires=BAKED_REQ + ["runs/probe_512_pass"],
          cmd=(f"{MB} --resolutions 512 --span_candidates 96 "
               "> runs/measure_baked_span.log 2>&1"),
          timeout=1500, log="runs/measure_baked_span.log"),
     dict(name="baked_pack2", requires=BAKED_REQ, retries=1,
-         cmd=(f"{MB} --resolutions 384,512 --pack 2 "
+         cmd=(f"{MB} --resolutions 384 --pack 2 "
               "> runs/measure_baked_p2.log 2>&1"),
          timeout=1500, log="runs/measure_baked_p2.log"),
     dict(name="baked_256_p8", requires=BAKED_REQ, retries=1,
