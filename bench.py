@@ -349,12 +349,16 @@ def frame_session(bake_resolution, pack, candidates, samples,
 
 def bench_frame(size=800, reps=3, bake_resolution=384, pack=4,
                 grid_resolution=128, candidates=96, samples=32,
-                span_candidates=64, block_gather_stride=4,
-                span_block_gather=4, tile=8192):
+                span_candidates=64, block_gather_stride=0,
+                span_block_gather=0, tile=8192):
     """North-star inference workload: one 800x800 flagship NGP frame on
     ONE chip — baked spatial field (384^3 bf16, pack 4), two-phase span
-    selection, block-word occupancy gathers (stride 4), pooled tiles,
-    early termination.  Scene-free: random-init NGP params and a
+    selection, pooled tiles, early termination.  Block-word gathers are
+    OFF here: the on-chip lever matrix (frame_matrix_r5.log, 2026-08-19)
+    measured the baked frame at 3.193 s plain pack-4 vs 4.065 s with
+    block-gather 4 and 3.262 s with bg4+span-bg4 — packing the baked
+    grid already removed the gather bottleneck those levers target, so
+    on the baked path they only add select work.  Scene-free: random-init NGP params and a
     synthetic surface-like grid (:func:`shell_grid_state`) reproduce the
     compound scene's ~5-10/ray survivor demand — frame time depends on
     shapes, occupancy, and gather counts, not on trained weight values,

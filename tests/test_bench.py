@@ -259,7 +259,11 @@ def test_emit_incremental_and_error_tolerant(capsys):
     bench._emit({"frame_800_baked": dict(
         rays_per_sec=500000.0, vs_reference_dense_eval=131.0)})
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert line["metric"] == "frame_seconds_800px_baked"
+    # The frame-only headline carries the rays/s VALUE, so the metric
+    # name/unit must say rays/s (a frame-only run once mislabeled the
+    # 170669 rays/s value as "s/frame").
+    assert line["metric"] == "frame_rays_per_sec_800px_baked"
+    assert "rays/sec" in line["unit"]
 
 
 def test_jaxpr_matmul_flops_exact():
