@@ -198,6 +198,7 @@ def bench_pooled():
         rays_per_sec=round(rays, 1),
         vs_reference_ngp=round(rays / REFERENCE_NGP_RAYS_PER_SEC, 3),
         pool_budget=loop._auto_per_ray,
+        **step_roofline(loop, batch, secs, extra_args=(loop.grid_state,)),
     )
 
 
