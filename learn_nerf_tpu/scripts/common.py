@@ -173,7 +173,10 @@ def add_occupancy_args(parser: argparse.ArgumentParser) -> None:
         "per-cell gathers when the transmittance prune is off (with "
         "--occ_t_eps > 0 the prune sees the block-max density, so it "
         "can cut later candidates earlier); 2-4 trades a small "
-        "occupied-overcount for speed (0 = off)",
+        "occupied-overcount for speed (0 = off).  LIVE-path lever only: "
+        "with --baked the packed grid already removed the gather "
+        "bottleneck and block words measured SLOWER on-chip "
+        "(docs/DESIGN.md section 3, 2026-08-19)",
     )
     parser.add_argument(
         "--occ_span_block_gather",
