@@ -366,6 +366,24 @@ def bake_instant_ngp(
         )
     r = resolution
     feat_dim = int(model.density_dim)
+    sweep_bytes = r**3 * feat_dim * jnp.dtype(dtype).itemsize
+    if sweep_bytes >= 2**31 and jax.default_backend() in ("tpu", "axon"):
+        # Measured ceiling (tools/probe_512.py, 2026-08-19): the sweep's
+        # lax.map accumulation kernel-faults the TPU worker once its
+        # output crosses 2^31 bytes (a 512^3 x 16 bf16 bake, twice) —
+        # buffer allocation, host reshape, and GATHERS from even larger
+        # tables (7.25 GB pack-4) all work, the accumulating write path
+        # does not.  400^3 is the largest 8-divisible resolution under
+        # the ceiling at density_dim 16 / bf16.
+        raise ValueError(
+            f"bake resolution {r} needs a {sweep_bytes / 1e9:.2f} GB sweep "
+            "output, >= the measured 2^31-byte TPU accumulation ceiling "
+            "(kernel-faults the worker; docs/DESIGN.md section 3 and "
+            "tools/probe_512.py). Use resolution <= "
+            f"{int((2**31 / (feat_dim * jnp.dtype(dtype).itemsize)) ** (1/3))} "
+            "(e.g. 400 at density_dim 16 / bfloat16), or bake on the CPU "
+            "backend."
+        )
     s1 = physical_rows_per_row(feat_dim)
     sweep, sweep_physical = _make_sweep(model, r, dtype)
 

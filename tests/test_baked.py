@@ -157,6 +157,27 @@ def test_bake_rejects_non_ngp():
         bake_instant_ngp(model, {}, 9)
 
 
+def test_bake_rejects_past_tpu_accumulation_ceiling():
+    """On TPU backends a bake whose sweep output is >= 2^31 bytes must
+    fail FAST with the measured citation, not kernel-fault the worker
+    (tools/probe_512.py, 2026-08-19: A1/A2 buffer+reshape pass, the
+    lax.map accumulation crashes).  CPU backends stay unrestricted."""
+    import jax
+    from unittest import mock
+
+    from learn_nerf_tpu.baked import bake_instant_ngp
+
+    model, params = _tiny_ngp(density_dim=16)
+    with mock.patch.object(jax, "default_backend", return_value="axon"):
+        with pytest.raises(ValueError, match="2\\^31-byte"):
+            bake_instant_ngp(model, params, 512)
+        # Under the ceiling the guard must not fire (400^3 x 16 x bf16 =
+        # 2.048e9 bytes is the real boundary case; a small bake keeps the
+        # unit test cheap while exercising the same predicate).
+        baked, bp = bake_instant_ngp(model, params, 64, verbose=False)
+        assert bp["grid"] is not None
+
+
 def test_baked_field_through_pooled_frame():
     """The baked model drops into the occupancy frame renderer unchanged
     and reproduces the live model's frame within interpolation error."""

@@ -278,6 +278,17 @@ QUEUE_R5 = [
          requires=BAKED_REQ + ["runs/probe_512_pass"],
          cmd=f"{MB} --resolutions 512 > runs/measure_baked_512.log 2>&1",
          timeout=1500, log="runs/measure_baked_512.log"),
+    # probe_512 verdict (runs/probe_512.log, 20:34-20:40): a 2^31-element
+    # bf16 buffer allocates, fills, and host-reshapes FINE (A1 299s, A2
+    # 1.5s) — the crash is the bake sweep's lax.map accumulation once the
+    # output exceeds 2^31 BYTES (gathers from the 7.25 GB pack-4 table
+    # work, so reads are unaffected).  400^3 x 16 x bf16 = 2.048e9 bytes
+    # is the largest resolution under that ceiling (and divisible by 8):
+    # the highest-fidelity bake this toolchain can produce.
+    dict(name="baked_400", requires=BAKED_REQ, retries=0,
+         cmd=(f"{MB} --resolutions 400 --span_candidates 96 --candidates 96 "
+              "--pack 4 > runs/measure_baked_400.log 2>&1"),
+         timeout=1200, log="runs/measure_baked_400.log"),
 
     # ---- tier 3b: ours-side Ref-NeRF / NGPxRef on-chip rows -----------------
     dict(name="ours_refnerf_train",
