@@ -240,7 +240,10 @@ def add_baked_args(parser: argparse.ArgumentParser) -> None:
         help="bake the trained Instant-NGP spatial field onto a dense "
         "RESOLUTION^3 grid at startup and render from it (one 8-corner "
         "gather per sample instead of the full hash stack; requires "
-        "--instant_ngp --occupancy)",
+        "--instant_ngp --occupancy; on TPU backends RESOLUTION tops out "
+        "at 400 — the measured 2^31-byte per-kernel bake ceiling, "
+        "docs/DESIGN.md section 3; 384 is the measured-best full-quality "
+        "config)",
     )
     parser.add_argument(
         "--baked_dtype",
