@@ -381,8 +381,9 @@ def bake_instant_ngp(
             "(kernel-faults the worker; docs/DESIGN.md section 3 and "
             "tools/probe_512.py). Use resolution <= "
             f"{int((2**31 / (feat_dim * jnp.dtype(dtype).itemsize)) ** (1/3))} "
-            "(e.g. 400 at density_dim 16 / bfloat16), or bake on the CPU "
-            "backend."
+            "-- in practice 384 (128-lane aligned, measured end to end; a "
+            "400^3 attempt sat in relay compile past a 700 s bound, "
+            "2026-08-19) -- or bake on the CPU backend."
         )
     s1 = physical_rows_per_row(feat_dim)
     sweep, sweep_physical = _make_sweep(model, r, dtype)
