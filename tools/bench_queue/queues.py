@@ -283,12 +283,16 @@ QUEUE_R5 = [
     # 1.5s) — the crash is the bake sweep's lax.map accumulation once the
     # output exceeds 2^31 BYTES (gathers from the 7.25 GB pack-4 table
     # work, so reads are unaffected).  400^3 x 16 x bf16 = 2.048e9 bytes
-    # is the largest resolution under that ceiling (and divisible by 8):
-    # the highest-fidelity bake this toolchain can produce.
+    # is the largest resolution under that ceiling (and divisible by 8).
+    # MEASURED 2026-08-19 22:16-22:27: a synthetic-field 400^3 frame sat
+    # in relay compile past a 700 s bound (no kernel fault; chip probed
+    # healthy right after) — 400 is not 128-lane aligned, so its padded
+    # program shapes compile far slower than 384's.  Timeout raised
+    # accordingly; 384^3 remains the practical/recommended maximum.
     dict(name="baked_400", requires=BAKED_REQ, retries=0,
          cmd=(f"{MB} --resolutions 400 --span_candidates 96 --candidates 96 "
               "--pack 4 > runs/measure_baked_400.log 2>&1"),
-         timeout=1200, log="runs/measure_baked_400.log"),
+         timeout=3000, log="runs/measure_baked_400.log"),
 
     # ---- tier 3b: ours-side Ref-NeRF / NGPxRef on-chip rows -----------------
     dict(name="ours_refnerf_train",
